@@ -1,0 +1,20 @@
+"""fastpcc_tpu — TPU-native learned point-cloud-compression framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+pengpeng-yu/FastPCC (reference: /root/reference): sparse-convolutional
+geometry/attribute compression models with learned entropy models feeding a
+host-side C++ rANS coder, driven by a YAML+dotlist config harness.
+
+Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
+  runtime/        C++ rANS coder + CDF quantization (host, ctypes)
+  ops/            Morton codes, sparse voxel grids, sparse conv (XLA/Pallas)
+  nn/             functional NN building blocks (flax.linen)
+  entropy_models/ distributions + batched/indexed/hyperprior entropy models
+  data/           PCData, datasets, kd-tree partition, collate
+  models/         model packages, each exporting Model and Config
+  parallel/       mesh / data-parallel training utilities
+  metrics/        pc_error wrapper, BD-rate, evaluator
+  config/         SimpleConfig dataclass-config system
+"""
+
+__version__ = "0.1.0"
