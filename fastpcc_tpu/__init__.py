@@ -18,3 +18,10 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Morton codes need 64-bit integers; all float dtypes in this package are
+# explicit (float32/bfloat16), so enabling x64 only widens the int path.
+import jax as _jax  # noqa: E402
+
+_jax.config.update('jax_enable_x64', True)
+

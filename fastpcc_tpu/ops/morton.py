@@ -1,0 +1,69 @@
+"""3D Morton (Z-order) codes as vectorized XLA integer ops.
+
+The reference implements these as CUDA magic-bits kernels with a numpy
+fallback (reference: lib/space_filling_curves/morton3d.cu:8-37,
+lib/space_filling_curves/__init__.py:46-88); on TPU they are plain fused
+integer element-wise ops — no kernel needed.
+
+Convention: this framework always uses the reference's *inverse* axis order
+('xyz' reversed to 'zyx'): z occupies bit 0, y bit 1, x bit 2 of each 3-bit
+level, so x is the most significant axis. Consequently ``code & 7`` equals the
+child-offset index i = 4x+2y+z used by the reference's unfold kernel
+(reference: lossl_coord/model.py:338-340), and sorting by code reproduces
+``morton_sort_inverse: True`` dataset order.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MAX_BITS = 21  # 3*21 = 63 bits
+
+
+def _spread3(v: jax.Array) -> jax.Array:
+    """Interleave: spread the low 21 bits of v so bit i moves to bit 3i."""
+    v = v.astype(jnp.int64)
+    v = (v | (v << 32)) & jnp.int64(0x1F00000000FFFF)
+    v = (v | (v << 16)) & jnp.int64(0x1F0000FF0000FF)
+    v = (v | (v << 8)) & jnp.int64(0x100F00F00F00F00F)
+    v = (v | (v << 4)) & jnp.int64(0x10C30C30C30C30C3)
+    v = (v | (v << 2)) & jnp.int64(0x1249249249249249)
+    return v
+
+
+def _compact3(v: jax.Array) -> jax.Array:
+    """Inverse of _spread3: gather every 3rd bit back into the low 21 bits."""
+    v = v & jnp.int64(0x1249249249249249)
+    v = (v ^ (v >> 2)) & jnp.int64(0x10C30C30C30C30C3)
+    v = (v ^ (v >> 4)) & jnp.int64(0x100F00F00F00F00F)
+    v = (v ^ (v >> 8)) & jnp.int64(0x1F0000FF0000FF)
+    v = (v ^ (v >> 16)) & jnp.int64(0x1F00000000FFFF)
+    v = (v ^ (v >> 32)) & jnp.int64(0x1FFFFF)
+    return v
+
+
+def morton_encode_xyz(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Encode non-negative integer coords (< 2^21 each); x most significant."""
+    return (_spread3(x) << 2) | (_spread3(y) << 1) | _spread3(z)
+
+
+def morton_encode(xyz: jax.Array) -> jax.Array:
+    """xyz: [..., 3] int array -> [...] int64 codes."""
+    return morton_encode_xyz(xyz[..., 0], xyz[..., 1], xyz[..., 2])
+
+
+def morton_decode(code: jax.Array) -> jax.Array:
+    """[...] int64 codes -> [..., 3] int32 coords."""
+    x = _compact3(code >> 2)
+    y = _compact3(code >> 1)
+    z = _compact3(code)
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('bits',))
+def sort_points_by_code(xyz: jax.Array, bits: int = MAX_BITS):
+    """Return (sorted codes, permutation) for integer coords [N, 3]."""
+    del bits
+    codes = morton_encode(xyz)
+    perm = jnp.argsort(codes)
+    return codes[perm], perm

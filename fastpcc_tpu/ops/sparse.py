@@ -1,0 +1,252 @@
+"""Sparse voxel-grid core: Morton-code-based multiscale point-cloud structure.
+
+TPU-native replacement for MinkowskiEngine / torchsparse coordinate managers
+(reference backends, SURVEY §1 L1). Design:
+
+  * A scale level is (codes, count): ``codes`` is a **sorted** int64 array of
+    packed (batch | inverse-Morton) keys padded to a static size with
+    INVALID_CODE; ``count`` is the number of valid entries. Features ride in a
+    separate [N, C] array aligned with codes.
+  * Batch index is packed above the Morton bits: code = b << 3*bits | morton.
+    Sorting by code groups points by sample then by Z-order, which makes
+    stride-2 downsampling a parent-key compaction (the reference monkey-patches
+    torchsparse's spdownsample to exploit exactly this property —
+    reference: lossl_coord/model.py:280-302).
+  * All shapes are static; compaction scatters into same-capacity arrays.
+  * 2x2x2 "fold" occupancy (the reference's identity sparse conv ``get_bin``,
+    reference: lossl_coord/model.py:355-374) is pure code arithmetic here:
+    parent = morton >> 3, octant = code & 7.
+  * 3^3 stride-1 sparse convolution uses a neighbor table built once per scale
+    by vectorized binary search over the sorted codes (Minuet-style sorted
+    lookup instead of GPU hash maps), then gather -> MXU GEMM accumulation.
+"""
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .morton import morton_decode, morton_encode
+
+INVALID_CODE = jnp.int64(0x7FFFFFFFFFFFFFFF)
+
+
+class VoxelGrid(struct.PyTreeNode):
+    """One scale level of a (batched) sparse voxel set."""
+    codes: jax.Array                  # [N] int64 sorted; INVALID_CODE padding
+    count: jax.Array                  # [] int32 number of valid entries
+    bits: int = struct.field(pytree_node=False)        # Morton bits per axis
+    stride_log2: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def capacity(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def morton_mask(self) -> jax.Array:
+        return (jnp.int64(1) << (3 * self.bits)) - 1
+
+    def valid_mask(self) -> jax.Array:
+        return jnp.arange(self.capacity) < self.count
+
+    def batch_index(self) -> jax.Array:
+        return (self.codes >> (3 * self.bits)).astype(jnp.int32)
+
+    def coords(self) -> jax.Array:
+        """[N, 3] int32 voxel coords at this scale (garbage in padding)."""
+        return morton_decode(self.codes & self.morton_mask)
+
+
+def pack_codes(xyz: jax.Array, batch: Optional[jax.Array], bits: int) -> jax.Array:
+    code = morton_encode(xyz)
+    if batch is not None:
+        code = code | (batch.astype(jnp.int64) << (3 * bits))
+    return code
+
+
+def pad_to(arr: jax.Array, n: int, fill) -> jax.Array:
+    """Pad/trim leading axis to length n with a fill value."""
+    if arr.shape[0] == n:
+        return arr
+    if arr.shape[0] > n:
+        return arr[:n]
+    pad_widths = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad_widths, constant_values=fill)
+
+
+def grid_from_sorted_codes(codes: jax.Array, count, bits: int,
+                           stride_log2: int = 0) -> VoxelGrid:
+    return VoxelGrid(codes=codes, count=jnp.asarray(count, jnp.int32), bits=bits,
+                     stride_log2=stride_log2)
+
+
+def _parent_codes(codes: jax.Array, bits: int) -> jax.Array:
+    morton_mask = (jnp.int64(1) << (3 * bits)) - 1
+    parent = (codes & ~morton_mask) | ((codes & morton_mask) >> 3)
+    return jnp.where(codes == INVALID_CODE, INVALID_CODE, parent)
+
+
+@functools.partial(jax.jit, static_argnames=('bits', 'stride_log2'))
+def downsample_with_bins(codes: jax.Array, count: jax.Array, bits: int,
+                         stride_log2: int = 0):
+    """One stride-2 downsample step.
+
+    Returns (parent_grid, bins, child_to_parent):
+      parent_grid: VoxelGrid at stride_log2+1 (same capacity, sorted)
+      bins:        [N, 8] float32 child-occupancy of each parent row
+      child_to_parent: [N] int32 parent row of each child (capacity in padding)
+    """
+    n = codes.shape[0]
+    valid = jnp.arange(n) < count
+    parent = _parent_codes(codes, bits)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int64), parent[:-1]])
+    first = valid & (parent != prev)
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1          # parent row per child
+    m = jnp.sum(first.astype(jnp.int32))
+    scatter_idx = jnp.where(first, pos, n)                  # n -> dropped
+    parent_codes_out = jnp.full((n,), INVALID_CODE).at[scatter_idx].set(
+        parent, mode='drop')
+    octant = (codes & 7).astype(jnp.int32)
+    bin_scatter = jnp.where(valid, pos * 8 + octant, n * 8)
+    bins = jnp.zeros((n * 8,), jnp.float32).at[bin_scatter].set(
+        1.0, mode='drop').reshape(n, 8)
+    parent_grid = VoxelGrid(codes=parent_codes_out, count=m, bits=bits,
+                            stride_log2=stride_log2 + 1)
+    return parent_grid, bins, pos
+
+
+def octant_symbols(bins: jax.Array) -> jax.Array:
+    """[N, 8] occupancy -> [N] int32 symbols in 0..254.
+
+    Bit layout matches the reference: symbol = sum_i bins[i] << (7-i) - 1
+    (reference: lossl_coord/model.py:59,337)."""
+    weights = (jnp.int32(1) << jnp.arange(7, -1, -1)).astype(jnp.int32)
+    return (bins.astype(jnp.int32) * weights).sum(-1) - 1
+
+
+def symbols_to_bins(symbols: jax.Array) -> jax.Array:
+    """[N] int symbols (0..254) -> [N, 8] bool occupancy (inverse of above)."""
+    shifts = jnp.arange(7, -1, -1)
+    return ((symbols[:, None] + 1) >> shifts) & 1
+
+
+@functools.partial(jax.jit, static_argnames=('bits', 'capacity', 'stride_log2'))
+def expand_children(parent_codes: jax.Array, parent_count: jax.Array,
+                    bins_bool: jax.Array, bits: int, capacity: int,
+                    stride_log2: int = 0):
+    """Decode-side inverse of downsample: emit sorted child codes for occupied
+    octants. Returns (child_grid, parent_of_child [capacity], octant [capacity])."""
+    n = parent_codes.shape[0]
+    morton_mask = (jnp.int64(1) << (3 * bits)) - 1
+    base = (parent_codes & ~morton_mask) | ((parent_codes & morton_mask) << 3)
+    child = base[:, None] | jnp.arange(8, dtype=jnp.int64)[None]      # [N, 8]
+    keep = bins_bool & (jnp.arange(n) < parent_count)[:, None]
+    flat_keep = keep.reshape(-1)
+    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    cnt = jnp.sum(flat_keep.astype(jnp.int32))
+    scatter_idx = jnp.where(flat_keep, pos, capacity)
+    child_codes = jnp.full((capacity,), INVALID_CODE).at[scatter_idx].set(
+        child.reshape(-1), mode='drop')
+    parent_of_child = jnp.full((capacity,), n, jnp.int32).at[scatter_idx].set(
+        jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8), mode='drop')
+    octant_of_child = jnp.zeros((capacity,), jnp.int32).at[scatter_idx].set(
+        jnp.tile(jnp.arange(8, dtype=jnp.int32), n), mode='drop')
+    grid = VoxelGrid(codes=child_codes, count=cnt, bits=bits,
+                     stride_log2=stride_log2)
+    return grid, parent_of_child, octant_of_child
+
+
+def children_codes(parent_codes: jax.Array, bits: int) -> jax.Array:
+    """All 8 child codes of each parent: [N, 8] int64."""
+    morton_mask = (jnp.int64(1) << (3 * bits)) - 1
+    base = (parent_codes & ~morton_mask) | ((parent_codes & morton_mask) << 3)
+    return base[:, None] | jnp.arange(8, dtype=jnp.int64)[None]
+
+
+_OFFSETS_3X3 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)]
+
+
+@functools.partial(jax.jit, static_argnames=('bits', 'scale_bits'))
+def build_neighbor_table(codes: jax.Array, count: jax.Array, bits: int,
+                         scale_bits: int) -> jax.Array:
+    """[N, 27] row indices of the 3^3 neighborhood in the sorted code array.
+
+    Missing neighbors and padding rows point at index N (a zero-feature row).
+    scale_bits: remaining Morton bits per axis at this scale (coords < 2^scale_bits).
+    Built once per scale and shared by every conv at that scale (the analog of
+    the reference's cached torchsparse kmaps, reference: lossl_coord/model.py:79).
+    """
+    n = codes.shape[0]
+    valid = jnp.arange(n) < count
+    morton_mask = (jnp.int64(1) << (3 * bits)) - 1
+    batch_part = codes & ~morton_mask
+    xyz = morton_decode(codes & morton_mask)                  # [N, 3] int32
+    limit = jnp.int32(1 << scale_bits)
+
+    offs = jnp.array(_OFFSETS_3X3, jnp.int32)                 # [27, 3]
+    nxyz = xyz[:, None, :] + offs[None, :, :]                 # [N, 27, 3]
+    in_range = ((nxyz >= 0) & (nxyz < limit)).all(-1) & valid[:, None]
+    ncodes = batch_part[:, None] | morton_encode(nxyz)        # [N, 27]
+    idx = jnp.searchsorted(codes, ncodes.reshape(-1)).astype(jnp.int32)
+    idx = jnp.minimum(idx, n - 1).reshape(n, 27)
+    hit = in_range & (codes[idx] == ncodes)
+    table = jnp.where(hit, idx, n)
+    # center tap is exact by construction
+    center = _OFFSETS_3X3.index((0, 0, 0))
+    table = table.at[:, center].set(
+        jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n))
+    return table
+
+
+def gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows with idx == feats.shape[0] mapping to zeros."""
+    padded = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)
+    return padded[idx]
+
+
+def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
+                      bias: Optional[jax.Array] = None) -> jax.Array:
+    """Apply a 3^3 sparse conv given a neighbor table.
+
+    feats:   [N, Cin]
+    table:   [N, 27] indices (N == miss)
+    weights: [27, Cin, Cout]
+    """
+    n, cin = feats.shape
+    cout = weights.shape[-1]
+    padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    acc = jnp.zeros((n, cout), feats.dtype)
+    # Unrolled accumulation keeps peak memory at one gathered [N, Cin] buffer
+    # while XLA fuses gather + GEMM per tap.
+    for k in range(table.shape[1]):
+        acc = acc + padded[table[:, k]] @ weights[k]
+    if bias is not None:
+        acc = acc + bias
+    return acc
+
+
+def ancestor_gather_dense(child_codes: jax.Array, child_count: jax.Array,
+                          child_feats: jax.Array, ancestor_codes: jax.Array,
+                          bits: int, levels: int) -> jax.Array:
+    """Strided (2^levels) ancestor conv support: scatter child features into a
+    dense [M, 8^levels, C] tensor indexed by (ancestor row, within-offset).
+
+    Used for kernel-2^k stride-2^k convolutions (the reference's multi-step
+    embed convs, reference: lossl_coord/model.py:136-153): the conv is then a
+    single [M, 8^k * C] x [8^k * C, Cout] GEMM.
+    """
+    n = child_codes.shape[0]
+    m = ancestor_codes.shape[0]
+    k3 = 1 << (3 * levels)
+    morton_mask = (jnp.int64(1) << (3 * bits)) - 1
+    anc = (child_codes & ~morton_mask) | ((child_codes & morton_mask) >> (3 * levels))
+    offset = (child_codes & (k3 - 1)).astype(jnp.int32)
+    row = jnp.searchsorted(ancestor_codes, anc).astype(jnp.int32)
+    row = jnp.minimum(row, m - 1)
+    valid = (jnp.arange(n) < child_count) & (ancestor_codes[row] == anc)
+    scatter_idx = jnp.where(valid, row * k3 + offset, m * k3)
+    dense = jnp.zeros((m * k3, child_feats.shape[-1]), child_feats.dtype)
+    dense = dense.at[scatter_idx].set(child_feats, mode='drop')
+    return dense.reshape(m, k3, child_feats.shape[-1])

@@ -1,0 +1,201 @@
+"""Morton codes + sparse voxel-grid op tests (vs numpy references)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastpcc_tpu.ops import (
+    morton_encode, morton_decode, INVALID_CODE, VoxelGrid,
+    downsample_with_bins, build_neighbor_table, octant_symbols,
+    symbols_to_bins, expand_children, ancestor_gather_dense, pad_to,
+)
+from fastpcc_tpu.ops.sparse import pack_codes, sparse_conv_apply, gather_padded
+
+
+def _np_morton_ref(xyz):
+    """Bit-by-bit reference: x at bit 2, y at 1, z at 0 per level."""
+    out = np.zeros(len(xyz), dtype=np.int64)
+    for level in range(21):
+        out |= ((xyz[:, 0].astype(np.int64) >> level) & 1) << (3 * level + 2)
+        out |= ((xyz[:, 1].astype(np.int64) >> level) & 1) << (3 * level + 1)
+        out |= ((xyz[:, 2].astype(np.int64) >> level) & 1) << (3 * level + 0)
+    return out
+
+
+def test_morton_roundtrip_and_reference():
+    rng = np.random.default_rng(0)
+    xyz = rng.integers(0, 2 ** 21, (1000, 3)).astype(np.int64)
+    codes = np.asarray(morton_encode(jnp.asarray(xyz)))
+    np.testing.assert_array_equal(codes, _np_morton_ref(xyz))
+    back = np.asarray(morton_decode(jnp.asarray(codes)))
+    np.testing.assert_array_equal(back, xyz)
+
+
+def test_morton_order_matches_lexicographic_xyz():
+    # Sorting by inverse-morton code == sorting by (x-major bit interleave):
+    # same parent (coords >> 1) groups must be contiguous.
+    rng = np.random.default_rng(1)
+    xyz = rng.integers(0, 64, (500, 3)).astype(np.int64)
+    codes = np.asarray(morton_encode(jnp.asarray(xyz)))
+    order = np.argsort(codes)
+    parents = np.asarray(morton_encode(jnp.asarray(xyz[order] >> 1)))
+    # parent codes must be non-decreasing in child order
+    assert (np.diff(parents) >= 0).all()
+
+
+def _make_grid(xyz, bits=8, capacity=None, batch=None):
+    codes = np.asarray(pack_codes(jnp.asarray(xyz), None if batch is None
+                                  else jnp.asarray(batch), bits))
+    codes = np.unique(codes)
+    n = capacity or len(codes)
+    padded = np.full((n,), np.asarray(INVALID_CODE), dtype=np.int64)
+    padded[:len(codes)] = codes
+    return jnp.asarray(padded), len(codes)
+
+
+def test_downsample_matches_numpy():
+    rng = np.random.default_rng(2)
+    xyz = rng.integers(0, 256, (300, 3))
+    codes, cnt = _make_grid(xyz, bits=8, capacity=400)
+    grid, bins, c2p = downsample_with_bins(codes, jnp.int32(cnt), bits=8)
+    codes_np = np.asarray(codes)[:cnt]
+    parents_expected = np.unique(codes_np >> 3)
+    m = int(grid.count)
+    assert m == len(parents_expected)
+    np.testing.assert_array_equal(np.asarray(grid.codes)[:m], parents_expected)
+    # bins: occupancy of each parent's 8 octants
+    bins_np = np.asarray(bins)[:m]
+    for i, p in enumerate(parents_expected):
+        children = codes_np[(codes_np >> 3) == p]
+        expected = np.zeros(8)
+        expected[children & 7] = 1
+        np.testing.assert_array_equal(bins_np[i], expected)
+    # child_to_parent maps each child to its parent row
+    c2p_np = np.asarray(c2p)[:cnt]
+    np.testing.assert_array_equal(np.asarray(grid.codes)[c2p_np], codes_np >> 3)
+
+
+def test_downsample_respects_batch_packing():
+    # two samples occupying the same spatial voxel must not merge
+    xyz = np.array([[0, 0, 0], [0, 0, 1], [0, 0, 0], [1, 1, 1]])
+    batch = np.array([0, 0, 1, 1])
+    codes, cnt = _make_grid(xyz, bits=4, capacity=8, batch=batch)
+    grid, bins, _ = downsample_with_bins(codes, jnp.int32(cnt), bits=4)
+    assert int(grid.count) == 2  # one parent per sample
+    b = (np.asarray(grid.codes)[:2] >> 12)
+    np.testing.assert_array_equal(b, [0, 1])
+
+
+def test_octant_symbol_roundtrip():
+    rng = np.random.default_rng(3)
+    bins = (rng.random((100, 8)) < 0.5)
+    bins[bins.sum(1) == 0, 0] = True  # every parent has >= 1 child
+    syms = octant_symbols(jnp.asarray(bins, jnp.float32))
+    assert (np.asarray(syms) >= 0).all() and (np.asarray(syms) <= 254).all()
+    back = symbols_to_bins(syms)
+    np.testing.assert_array_equal(np.asarray(back), bins)
+
+
+def test_symbol_bit_layout_matches_reference():
+    # occupancy only in octant 0 (offset 0,0,0) -> symbol = (1 << 7) - 1
+    bins = np.zeros((1, 8), np.float32)
+    bins[0, 0] = 1
+    assert int(octant_symbols(jnp.asarray(bins))[0]) == 127
+    bins = np.zeros((1, 8), np.float32)
+    bins[0, 7] = 1  # offset (1,1,1) -> lowest bit
+    assert int(octant_symbols(jnp.asarray(bins))[0]) == 0
+
+
+def test_expand_children_inverts_downsample():
+    rng = np.random.default_rng(4)
+    xyz = rng.integers(0, 128, (200, 3))
+    codes, cnt = _make_grid(xyz, bits=8, capacity=256)
+    grid, bins, _ = downsample_with_bins(codes, jnp.int32(cnt), bits=8)
+    child, p_of_c, oct_of_c = expand_children(
+        grid.codes, grid.count, jnp.asarray(bins, bool), bits=8, capacity=256)
+    n = int(child.count)
+    assert n == cnt
+    np.testing.assert_array_equal(np.asarray(child.codes)[:n],
+                                  np.asarray(codes)[:cnt])
+    # parent/octant maps reconstruct the child code
+    pc = np.asarray(grid.codes)[np.asarray(p_of_c)[:n]]
+    oc = np.asarray(oct_of_c)[:n]
+    np.testing.assert_array_equal((pc << 3) | oc, np.asarray(codes)[:cnt])
+
+
+def test_neighbor_table_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    xyz = rng.integers(0, 16, (100, 3))
+    codes, cnt = _make_grid(xyz, bits=6, capacity=128)
+    table = np.asarray(build_neighbor_table(codes, jnp.int32(cnt), bits=6,
+                                            scale_bits=6))
+    codes_np = np.asarray(codes)
+    coords = np.asarray(morton_decode(jnp.asarray(codes_np)))
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    lookup = {tuple(coords[i]): i for i in range(cnt)}
+    for i in range(cnt):
+        for k, off in enumerate(offs):
+            tgt = tuple(coords[i] + np.array(off))
+            expected = lookup.get(tgt, 128)
+            if min(tgt) < 0 or max(tgt) >= 64:
+                expected = 128
+            assert table[i, k] == expected, (i, k, off)
+    # padding rows all miss
+    assert (table[cnt:] == 128).all()
+
+
+def test_sparse_conv_matches_dense_conv():
+    """Sparse 3^3 conv == dense conv3d evaluated at occupied voxels."""
+    rng = np.random.default_rng(6)
+    size = 8
+    occ = rng.random((size, size, size)) < 0.3
+    xyz = np.argwhere(occ)
+    cin, cout = 3, 5
+    feats_dense = rng.normal(size=(size, size, size, cin)).astype(np.float32)
+    feats_dense[~occ] = 0.0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+
+    codes, cnt = _make_grid(xyz, bits=4, capacity=xyz.shape[0])
+    coords = np.asarray(morton_decode(jnp.asarray(codes)))[:cnt]
+    feats = jnp.asarray(feats_dense[coords[:, 0], coords[:, 1], coords[:, 2]])
+    table = build_neighbor_table(codes, jnp.int32(cnt), bits=4, scale_bits=4)
+    out = np.asarray(sparse_conv_apply(feats, table, jnp.asarray(w)))
+
+    # numpy dense reference
+    offs = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)]
+    for i in range(cnt):
+        expected = np.zeros(cout, np.float32)
+        for k, (dx, dy, dz) in enumerate(offs):
+            p = coords[i] + np.array([dx, dy, dz])
+            if (p < 0).any() or (p >= size).any() or not occ[tuple(p)]:
+                continue
+            expected += feats_dense[tuple(p)] @ w[k]
+        np.testing.assert_allclose(out[i], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ancestor_gather_dense():
+    rng = np.random.default_rng(7)
+    xyz = rng.integers(0, 32, (100, 3))
+    codes, cnt = _make_grid(xyz, bits=6, capacity=128)
+    feats = jnp.asarray(rng.normal(size=(128, 4)).astype(np.float32))
+    # two levels of downsampling -> ancestors at stride 4
+    g1, _, _ = downsample_with_bins(codes, jnp.int32(cnt), bits=6)
+    g2, _, _ = downsample_with_bins(g1.codes, g1.count, bits=6, stride_log2=1)
+    dense = np.asarray(ancestor_gather_dense(
+        codes, jnp.int32(cnt), feats, g2.codes, bits=6, levels=2))
+    codes_np, anc_np = np.asarray(codes), np.asarray(g2.codes)
+    for i in range(cnt):
+        row = np.searchsorted(anc_np, codes_np[i] >> 6)
+        off = codes_np[i] & 63
+        np.testing.assert_array_equal(dense[row, off], np.asarray(feats)[i])
+    # total mass preserved
+    assert np.isclose(dense.sum(), np.asarray(feats)[:cnt].sum(), rtol=1e-5)
+
+
+def test_gather_padded_zero_row():
+    feats = jnp.asarray(np.ones((4, 2), np.float32))
+    out = gather_padded(feats, jnp.asarray([0, 4, 2]))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  [[1, 1], [0, 0], [1, 1]])
