@@ -369,6 +369,20 @@ int64_t fpc_enc_put(void* h, const uint16_t* cdf_rows, int64_t n_cdfs,
   return (e->buf.data() + e->buf.size()) - e->ptr;
 }
 
+// Raw variant: per-symbol (start, freq-1) pairs already gathered from the CDF
+// rows (device-side), avoiding the full-CDF transfer on the encode path.
+// Bitstream-identical to fpc_enc_put with the same underlying CDFs.
+int64_t fpc_enc_put_raw(void* h, const uint16_t* starts,
+                        const uint16_t* freqs_minus_1, int64_t n_sym) {
+  auto* e = static_cast<FpcStreamEncoder*>(h);
+  e->ensure(4 * n_sym + 16);
+  for (int64_t k = n_sym - 1; k >= 0; --k) {
+    e->enc.put(e->ptr, starts[k],
+               static_cast<uint32_t>(freqs_minus_1[k]) + 1, kPrecision);
+  }
+  return (e->buf.data() + e->buf.size()) - e->ptr;
+}
+
 // Binary variant: rows are single thresholds c = P(0)*65536.
 int64_t fpc_enc_put_bin(void* h, const uint16_t* thresholds, int64_t n_cdfs,
                         const uint8_t* symbols, int64_t n_sym) {

@@ -21,7 +21,23 @@ __version__ = "0.1.0"
 
 # Morton codes need 64-bit integers; all float dtypes in this package are
 # explicit (float32/bfloat16), so enabling x64 only widens the int path.
+import os as _os  # noqa: E402
+
 import jax as _jax  # noqa: E402
 
 _jax.config.update('jax_enable_x64', True)
+
+# Persistent compilation cache: per-scale step functions of the coders are
+# many small programs; caching them makes warm starts near-instant.
+_cache_dir = _os.environ.get(
+    'FASTPCC_JAX_CACHE',
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                  'build', 'jax_cache'))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    _jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 

@@ -1,0 +1,501 @@
+"""lossl_coord — real-time lossless LiDAR geometry compression (flagship).
+
+TPU-native rebuild of the reference's multiscale occupancy model
+(reference: models/convolutional/lossl_coord/model.py:306-642, arXiv
+2603.25260). Encoder and decoder drive the SAME jitted per-scale step
+functions, so the device-computed CDFs are bit-identical on both sides —
+the property the reference gets from running one network twice on one GPU.
+
+Bitstream layout (little-endian), mirroring the reference with one addition:
+  3 x 2B  per-axis coordinate offset   (reference: lossl_coord/model.py:558-560)
+  2B      bottom-scale point count
+  4B      original point count         (added: decode-side capacity planning,
+                                        replaces dynamic shapes)
+  rANS stream: [scale 1 .. top] octants LIFO, then bottom coords
+"""
+import io
+import math
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...ops import sparse as sp
+from ...ops.morton import morton_decode, np_morton_encode
+from ...runtime import RansEncoder, RansDecoder
+from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
+                      make_blocks)
+from .model_config import Config
+
+LOG2_E = math.log2(math.e)
+NUM_CLASSES = 255
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    return max(1 << math.ceil(math.log2(max(n, 1))), minimum)
+
+
+# ---------------------------------------------------------------------------
+# jitted step functions (module hyperparams static -> traces shared across
+# blocks with the same structure)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _osp_logits(channels, if_upsample, allow_single_ch, params, feats, table):
+    mod = OneScalePredictor(channels, if_upsample, allow_single_ch)
+    return mod.apply({'params': params}, feats, table,
+                     method=OneScalePredictor.logits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _osp_upsample(channels, if_upsample, allow_single_ch, params, dec_feats,
+                  bins, table, p_of_c, oct_of_c):
+    mod = OneScalePredictor(channels, if_upsample, allow_single_ch)
+    return mod.apply({'params': params}, dec_feats, bins, table, p_of_c,
+                     oct_of_c, method=OneScalePredictor.upsample)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _ms_root(channels, pred_steps, params, feats, root_table, bins_root,
+             embed_dense):
+    mod = OneScaleMultiStepPredictor(channels, pred_steps)
+    return mod.apply({'params': params}, feats, root_table, bins_root,
+                     embed_dense, method=OneScaleMultiStepPredictor.root_feats)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _ms_chain(channels, pred_steps, params, root_out, tables, select_maps,
+              cat_bins):
+    mod = OneScaleMultiStepPredictor(channels, pred_steps)
+    return mod.apply({'params': params}, root_out, tables, select_maps,
+                     cat_bins, method=OneScaleMultiStepPredictor.chain_logits)
+
+
+@jax.jit
+def _cdf_rows(logits: jax.Array) -> jax.Array:
+    """Device CDF quantization, format of the reference's
+    batch_quantize_pmf_torch (reference: lossl_coord/model.py:461-468):
+    row[s] = cumulative count through symbol s, row[-1] = 65535 (uint16)."""
+    pmf = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    q = jnp.floor(pmf * (65536 - logits.shape[-1])) + 1.0
+    cdf = jnp.cumsum(q, axis=-1)
+    cdf = cdf.at[:, -1].set(65535.0)
+    return cdf.astype(jnp.uint16)
+
+
+@jax.jit
+def _enc_pairs(cdf_rows: jax.Array, symbols: jax.Array):
+    """Per-symbol (start, freq-1) uint16 pairs for the raw streaming encoder."""
+    s = jnp.clip(symbols, 0, cdf_rows.shape[-1] - 1)
+    row = jnp.arange(cdf_rows.shape[0])
+    end = jnp.where(s == cdf_rows.shape[-1] - 1, 65536,
+                    cdf_rows[row, s].astype(jnp.int32))
+    start = jnp.where(s == 0, 0, cdf_rows[row, jnp.maximum(s - 1, 0)]
+                      .astype(jnp.int32))
+    return start.astype(jnp.uint16), (end - start - 1).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=('bits', 'max_down'))
+def _build_pyramid(codes, count, bits: int, max_down: int):
+    """Full bin pyramid in one program: per scale s in 1..max_down returns
+    (codes, count, bins, child_to_parent, child_octant, symbols)."""
+    out = []
+    g = sp.VoxelGrid(codes=codes, count=jnp.asarray(count, jnp.int32),
+                     bits=bits, stride_log2=0)
+    for s in range(1, max_down + 1):
+        octant = (g.codes & 7).astype(jnp.int32)
+        parent, bins, c2p = sp.downsample_with_bins(g.codes, g.count, bits,
+                                                    g.stride_log2)
+        syms = sp.octant_symbols(bins)
+        out.append((parent.codes, parent.count, bins, c2p, octant, syms))
+        g = parent
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=('bits', 'capacity'))
+def _expand_from_symbols(codes, count, symbols, bits: int, capacity: int):
+    """Decoded symbols -> bins + child grid + (parent, octant) maps."""
+    bins_bool = sp.symbols_to_bins(symbols).astype(bool)
+    bins_bool = bins_bool & (jnp.arange(codes.shape[0]) < count)[:, None]
+    child, p_of_c, oct_of_c = sp.expand_children(
+        codes, count, bins_bool, bits, capacity)
+    return bins_bool.astype(jnp.float32), child.codes, child.count, p_of_c, oct_of_c
+
+
+# ---------------------------------------------------------------------------
+
+
+class _ScaleState:
+    """Per-scale bookkeeping shared by the encode and decode drivers."""
+    __slots__ = ('codes', 'count', 'bins', 'c2p', 'octant', 'table', 'n')
+
+    def __init__(self, codes, count, n, bins=None, c2p=None, octant=None):
+        self.codes, self.count, self.n = codes, count, n
+        self.bins, self.c2p, self.octant = bins, c2p, octant
+        self.table = None
+
+
+class Model:
+    """Public API mirroring the reference Model (reference:
+    lossl_coord/model.py:306): ``train_loss`` (pure, jit-compiled),
+    ``compress(params, xyz) -> bytes``, ``decompress(params, bytes) -> xyz``."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.bits = cfg.coord_bits
+        (self.max_down, self.max_down_wo, self.specs,
+         self.blocks) = make_blocks(cfg.channels, cfg.max_stride,
+                                    cfg.max_stride_wo_recurrent, cfg.fea_stride)
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
+            else jnp.float32
+        self._enc = None
+        self._dec = None
+        # side-info CDFs for bottom-coordinate coding
+        # (reference: lossl_coord/model.py:348-351)
+        cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
+        cdf1[-1] = 65535
+        cdf2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
+        cdf2[-1] = 65535
+        self._side_cdf1 = cdf1[None]
+        self._side_cdf2 = cdf2[None]
+
+    # ------------------------------------------------------------- params
+
+    def init_params(self, rng: jax.Array, example_n: int = 512) -> Dict:
+        cap = _bucket(example_n)
+        ch = self.cfg.channels
+        feats1 = jnp.ones((cap, 1), self.compute_dtype)
+        feats = jnp.ones((cap, ch), self.compute_dtype)
+        table = jnp.full((cap, 27), cap, jnp.int32)
+        bins = jnp.zeros((cap, 8), jnp.float32)
+        idx_map = jnp.zeros((cap,), jnp.int32)
+        params = {}
+        rngs = jax.random.split(rng, len(self.blocks))
+        for r, (name, mod) in zip(rngs, self.blocks.items()):
+            if isinstance(mod, OneScalePredictor):
+                f = feats1 if mod.allow_single_ch else feats
+                v = mod.init(r, f, table, method=OneScalePredictor.logits)
+                p = v['params']
+                if mod.if_upsample:
+                    v2 = mod.init(r, feats, bins, table, idx_map, idx_map,
+                                  method=OneScalePredictor.upsample)
+                    p = {**p, **v2['params']}
+                params[name] = p
+            else:
+                k = mod.pred_steps
+                embed_dense = None if k == 2 else jnp.zeros(
+                    (cap, 1 << (3 * (k - 2)), 8), self.compute_dtype)
+                v = mod.init(r, feats, table, bins, embed_dense,
+                             method=OneScaleMultiStepPredictor.root_feats)
+                p = v['params']
+                tables = tuple(table for _ in range(k))
+                maps = tuple((idx_map, idx_map) for _ in range(k - 1))
+                cat_bins = tuple([bins] * (k - 2) + [None]) if k > 1 else ()
+                v2 = mod.init(r, feats, tables, maps, cat_bins,
+                              method=OneScaleMultiStepPredictor.chain_logits)
+                params[name] = {**p, **v2['params']}
+        return params
+
+    # ------------------------------------------------------------- training
+
+    def _block_info(self, idx: int, top: int):
+        """Block for scale idx (stride 2^idx) given the effective top scale."""
+        shift = self.max_down - top  # skip_top_scales_num at test time
+        if idx > self.max_down_wo - shift:
+            return 'rec', self.blocks['rec']
+        name = f'b{idx - 1 + shift}'
+        return name, self.blocks[name]
+
+    def train_loss(self, params: Dict, codes: jax.Array, count: jax.Array,
+                   points_num: jax.Array) -> Tuple[jax.Array, Dict]:
+        """Pure loss function (jit/grad-able). codes: [cap] sorted packed
+        codes; points_num: [B] per-sample point counts."""
+        cap = codes.shape[0]
+        bits = self.bits
+        batch_size = points_num.shape[0]
+        pyramid = _build_pyramid(codes, count, bits, self.max_down)
+        # pyramid[s-1] = (codes, count, bins, c2p, octant, syms) for scale s
+        tables = {}
+
+        def table(s):
+            if s not in tables:
+                pc, cnt = (codes, count) if s == 0 else pyramid[s - 1][:2]
+                tables[s] = sp.build_neighbor_table(pc, cnt, bits, bits - s)
+            return tables[s]
+
+        def scale(s):
+            return pyramid[s - 1]
+
+        def ce_loss(logits, s):
+            pcodes, pcount, bins, _, _, syms = scale(s)
+            valid = jnp.arange(cap) < pcount
+            lg = logits.astype(jnp.float32)
+            lse = jax.nn.logsumexp(lg, axis=-1)
+            tgt = jnp.take_along_axis(lg, jnp.clip(syms, 0, NUM_CLASSES - 1)
+                                      [:, None], axis=-1)[:, 0]
+            ce = lse - tgt
+            bidx = jnp.clip((pcodes >> (3 * bits)).astype(jnp.int32), 0,
+                            batch_size - 1)
+            w = 1.0 / points_num.astype(jnp.float32)[bidx]
+            return (ce * w * valid).sum() * (LOG2_E / batch_size)
+
+        feats = jnp.ones((cap, 1), self.compute_dtype)
+        loss_dict = {}
+        for idx in range(self.max_down, 0, -1):
+            name, mod = self._block_info(idx, self.max_down)
+            p = params[name]
+            _, _, bins_i, c2p_i, oct_i, _ = scale(idx)
+            if isinstance(mod, OneScalePredictor):
+                dec_feats, logits = mod.apply(
+                    {'params': p}, feats, table(idx),
+                    method=OneScalePredictor.logits)
+                loss = ce_loss(logits, idx)
+                if mod.if_upsample and idx != 1:
+                    feats = mod.apply(
+                        {'params': p}, dec_feats, bins_i, table(idx), c2p_i,
+                        oct_i, method=OneScalePredictor.upsample)
+                else:
+                    feats = dec_feats
+            else:
+                k = mod.pred_steps
+                r = idx + k - 1
+                if k == 2:
+                    embed_dense = None
+                else:
+                    src_codes, src_count, src_bins = (scale(idx + 1)[0],
+                                                      scale(idx + 1)[1],
+                                                      scale(idx + 1)[2])
+                    embed_dense = sp.ancestor_gather_dense(
+                        src_codes, src_count,
+                        src_bins.astype(self.compute_dtype),
+                        scale(r)[0], bits, k - 2)
+                root_out = mod.apply(
+                    {'params': p}, feats, table(r),
+                    scale(r)[2], embed_dense,
+                    method=OneScaleMultiStepPredictor.root_feats)
+                chain_tables = tuple(table(r - i) for i in range(k))
+                select_maps = tuple((scale(r - i)[3], scale(r - i)[4])
+                                    for i in range(k - 1))
+                cat_bins = tuple([scale(r - i)[2] for i in range(1, k - 1)]
+                                 + [None])
+                logits = mod.apply(
+                    {'params': p}, root_out, chain_tables, select_maps,
+                    cat_bins, method=OneScaleMultiStepPredictor.chain_logits)
+                loss = ce_loss(logits, idx)
+                feats = root_out
+            loss_dict[f'stride{2 ** idx}_geo_loss'] = loss
+        total = sum(loss_dict.values())
+        loss_dict['loss'] = total
+        return total, loss_dict
+
+    # ------------------------------------------------------------- coding
+
+    def _coders(self):
+        if self._enc is None:
+            self._enc = RansEncoder(32 * 1024 * 1024)
+            self._dec = RansDecoder()
+        return self._enc, self._dec
+
+    def _encode_bottom_coords(self, enc: RansEncoder, coords: np.ndarray):
+        """Raw bottom-scale coords via bincount CDF + transmitted side info
+        (reference: lossl_coord/model.py:482-508,519-525)."""
+        values = coords.reshape(-1).astype(np.int64)
+        k = max(int(values.max(initial=0)) + 1, 2)
+        pmf = np.bincount(values, minlength=k).astype(np.float64) / len(values)
+        q = np.floor(pmf * (65536 - k)) + 1.0
+        cdf = np.cumsum(q)
+        cdf[-1] = 65535
+        cdf = cdf.astype(np.uint16)
+        enc.encode(cdf[None], values.astype(np.uint16))
+        enc.encode(self._side_cdf1, cdf[:-1].astype(np.int64).astype(np.uint16) - 1)
+        enc.encode(self._side_cdf2, np.array([k - 2], dtype=np.uint16))
+
+    def _decode_bottom_coords(self, dec: RansDecoder, n_values: int) -> np.ndarray:
+        k_arr = np.empty((1,), np.uint16)
+        dec.decode(self._side_cdf2, k_arr)
+        k = int(k_arr[0]) + 2
+        row = np.empty((k - 1,), np.uint16)
+        dec.decode(self._side_cdf1, row)
+        cdf = np.zeros((k,), np.uint16)
+        cdf[:-1] = row + 1
+        cdf[-1] = 65535
+        values = np.empty((n_values,), np.uint16)
+        dec.decode(cdf[None], values)
+        return values.astype(np.int32)
+
+    def _prep_xyz(self, xyz: np.ndarray):
+        offset = xyz.min(0)
+        shifted = (xyz - offset).astype(np.int64)
+        codes = np.unique(np_morton_encode(shifted))
+        return offset.astype(np.int32), codes
+
+    def compress(self, params: Dict, xyz: np.ndarray) -> bytes:
+        """xyz: [N, 3] non-negative ints (unique rows)."""
+        enc, _ = self._coders()
+        offset, codes_np = self._prep_xyz(xyz)
+        n = len(codes_np)
+        cap = _bucket(n)
+        top = self.max_down - self.cfg.skip_top_scales_num
+        codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+        pyramid = _build_pyramid(codes, jnp.int32(n), self.bits, top)
+        counts = jax.device_get([pyramid[s - 1][1] for s in range(1, top + 1)])
+
+        states: Dict[int, _ScaleState] = {
+            0: _ScaleState(codes, jnp.int32(n), n)}
+        for s in range(1, top + 1):
+            pc, pcnt, bins, c2p, octant, _ = pyramid[s - 1]
+            states[s] = _ScaleState(pc, pcnt, int(counts[s - 1]), bins)
+            # c2p/octant describe how scale s-1 rows map into scale s:
+            # stored on the child state (same convention as the decode path)
+            states[s - 1].c2p = c2p
+            states[s - 1].octant = octant
+
+        def symbols_of(s):
+            return pyramid[s - 1][5]
+
+        collected = self._run_scales(params, states, top, symbols_of)
+
+        # LIFO: finest scale pushed first so the decoder pops coarsest first
+        for starts, freqs in collected:
+            enc.encode_raw(starts, freqs)
+        bottom_coords = np.asarray(
+            morton_decode(states[top].codes[:states[top].n]
+                          & ((jnp.int64(1) << (3 * self.bits)) - 1)))
+        self._encode_bottom_coords(enc, bottom_coords)
+
+        with io.BytesIO() as bs:
+            for v in offset.tolist():
+                bs.write(int(v).to_bytes(2, 'little'))
+            bs.write(states[top].n.to_bytes(2, 'little'))
+            bs.write(n.to_bytes(4, 'little'))
+            bs.write(enc.flush())
+            return bs.getvalue()
+
+    def _table(self, state: _ScaleState, s: int):
+        if state.table is None:
+            state.table = sp.build_neighbor_table(
+                state.codes, state.count, self.bits, self.bits - s)
+        return state.table
+
+    def _run_scales(self, params, states, top, symbols_of,
+                    decode_scale=None):
+        """Shared encode/decode scale loop. With ``symbols_of`` (encode), the
+        true symbols are looked up and (start, freq) pairs are collected in
+        scale order 1..top (finest first). With ``decode_scale`` (decode),
+        symbols come from the rANS stream and child scales are expanded."""
+        ch = self.cfg.channels
+        cap = states[top].codes.shape[0]
+        feats = jnp.ones((cap, 1), self.compute_dtype)
+        collected = []
+        for idx in range(top, 0, -1):
+            name, mod = self._block_info(idx, top)
+            p = params[name]
+            if isinstance(mod, OneScalePredictor):
+                dec_feats, logits = _osp_logits(
+                    ch, mod.if_upsample, mod.allow_single_ch, p, feats,
+                    self._table(states[idx], idx))
+                bins = self._code_scale(idx, logits, states, symbols_of,
+                                        decode_scale, collected)
+                if mod.if_upsample and idx != 1:
+                    feats = _osp_upsample(
+                        ch, mod.if_upsample, mod.allow_single_ch, p, dec_feats,
+                        bins, self._table(states[idx], idx),
+                        states[idx - 1].c2p, states[idx - 1].octant)
+                else:
+                    feats = dec_feats
+            else:
+                k = mod.pred_steps
+                r = idx + k - 1
+                if k == 2:
+                    embed_dense = None
+                else:
+                    src = states[idx + 1]
+                    embed_dense = _ancestor_dense(
+                        src.codes, src.count, src.bins, states[r].codes,
+                        self.bits, k - 2, self.compute_dtype)
+                root_out = _ms_root(ch, k, p, feats,
+                                    self._table(states[r], r),
+                                    states[r].bins, embed_dense)
+                chain_tables = tuple(self._table(states[r - i], r - i)
+                                     for i in range(k))
+                select_maps = tuple(
+                    (states[r - i - 1].c2p, states[r - i - 1].octant)
+                    for i in range(k - 1))
+                cat_bins = tuple([states[r - i].bins for i in range(1, k - 1)]
+                                 + [None])
+                logits = _ms_chain(ch, k, p, root_out, chain_tables,
+                                   select_maps, cat_bins)
+                self._code_scale(idx, logits, states, symbols_of,
+                                 decode_scale, collected)
+                feats = root_out
+        return collected
+
+    def _code_scale(self, idx, logits, states, symbols_of, decode_scale,
+                    collected):
+        """Turn one scale's logits into coded symbols (encode) or decoded
+        bins + expanded child scale (decode). Returns the bins at scale idx."""
+        st = states[idx]
+        cdfs = _cdf_rows(logits)
+        if symbols_of is not None:   # encode path
+            syms = symbols_of(idx)
+            starts, freqs = _enc_pairs(cdfs, syms)
+            collected.insert(0, (np.asarray(starts[:st.n]),
+                                 np.asarray(freqs[:st.n])))
+            if st.bins is None:
+                st.bins = sp.symbols_to_bins(syms).astype(jnp.float32)
+            return st.bins
+        # decode path
+        _, dec = self._coders()
+        cdf_host = np.asarray(cdfs[:st.n])
+        syms_host = np.empty((st.n,), np.uint16)
+        dec.decode(cdf_host, syms_host)
+        cap = st.codes.shape[0]
+        syms = jnp.asarray(sp_pad_codes(
+            syms_host.astype(np.int64), cap, fill=0)).astype(jnp.int32)
+        bins_f, child_codes, child_count, p_of_c, oct_of_c = \
+            _expand_from_symbols(st.codes, st.count, syms, self.bits, cap)
+        st.bins = bins_f
+        child_n = int(np.unpackbits(
+            (syms_host.astype(np.uint16) + 1).view(np.uint8)).sum())
+        child = _ScaleState(child_codes, child_count, child_n)
+        child.c2p, child.octant = p_of_c, oct_of_c
+        states[idx - 1] = child
+        return bins_f
+
+    def decompress(self, params: Dict, data: bytes) -> np.ndarray:
+        _, dec = self._coders()
+        with io.BytesIO(data) as bs:
+            offset = np.array([int.from_bytes(bs.read(2), 'little')
+                               for _ in range(3)], np.int32)
+            bottom_n = int.from_bytes(bs.read(2), 'little')
+            org_n = int.from_bytes(bs.read(4), 'little')
+            stream = bs.read()
+        dec.flush(stream)
+
+        top = self.max_down - self.cfg.skip_top_scales_num
+        cap = _bucket(org_n)
+        coords = self._decode_bottom_coords(dec, bottom_n * 3).reshape(-1, 3)
+        codes_np = np.sort(np_morton_encode(coords.astype(np.int64)))
+        states = {top: _ScaleState(jnp.asarray(sp_pad_codes(codes_np, cap)),
+                                   jnp.int32(bottom_n), bottom_n)}
+        self._run_scales(params, states, top, symbols_of=None,
+                         decode_scale=True)
+        final = states[0]
+        mask = (jnp.int64(1) << (3 * self.bits)) - 1
+        xyz = np.asarray(morton_decode(final.codes[:final.n] & mask))
+        return xyz + offset[None]
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _ancestor_dense(codes, count, bins, anc_codes, bits, levels, dtype):
+    return sp.ancestor_gather_dense(codes, count, bins.astype(dtype),
+                                    anc_codes, bits, levels)
+
+
+def sp_pad_codes(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
+    out = np.full((cap,), np.iinfo(np.int64).max if fill is None else fill,
+                  dtype=np.int64)
+    out[:len(arr)] = arr
+    return out

@@ -67,3 +67,20 @@ def sort_points_by_code(xyz: jax.Array, bits: int = MAX_BITS):
     codes = morton_encode(xyz)
     perm = jnp.argsort(codes)
     return codes[perm], perm
+
+
+def np_morton_encode(xyz) -> 'np.ndarray':
+    """Host-side numpy variant (dataset prep / collate; same bit layout)."""
+    import numpy as np
+    v = xyz.astype(np.int64)
+    out = 0
+    parts = []
+    for col, shift in ((0, 2), (1, 1), (2, 0)):
+        a = v[..., col]
+        a = (a | (a << 32)) & 0x1F00000000FFFF
+        a = (a | (a << 16)) & 0x1F0000FF0000FF
+        a = (a | (a << 8)) & 0x100F00F00F00F00F
+        a = (a | (a << 4)) & 0x10C30C30C30C30C3
+        a = (a | (a << 2)) & 0x1249249249249249
+        parts.append(a << shift)
+    return parts[0] | parts[1] | parts[2]

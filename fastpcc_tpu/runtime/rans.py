@@ -46,6 +46,8 @@ def _load():
     lib.fpc_enc_put.argtypes = [ctypes.c_void_p, u16p, _i64, _i64, u16p, _i64]
     lib.fpc_enc_put_bin.restype = _i64
     lib.fpc_enc_put_bin.argtypes = [ctypes.c_void_p, u16p, _i64, u8p, _i64]
+    lib.fpc_enc_put_raw.restype = _i64
+    lib.fpc_enc_put_raw.argtypes = [ctypes.c_void_p, u16p, u16p, _i64]
     lib.fpc_enc_size.restype = _i64
     lib.fpc_enc_size.argtypes = [ctypes.c_void_p]
     lib.fpc_enc_flush.restype = _i64
@@ -257,6 +259,16 @@ class RansEncoder:
         return _lib().fpc_enc_put(
             self._h, _ptr(cdf_arr, ctypes.c_uint16), n_cdfs, max_sym,
             _ptr(symbol_arr, ctypes.c_uint16), n_sym)
+
+    def encode_raw(self, starts: np.ndarray, freqs_minus_1: np.ndarray) -> int:
+        """Encode with pre-gathered per-symbol (start, freq-1) uint16 pairs;
+        bitstream-identical to encode() with the CDFs the pairs came from."""
+        starts = np.ascontiguousarray(starts, dtype=np.uint16)
+        freqs_minus_1 = np.ascontiguousarray(freqs_minus_1, dtype=np.uint16)
+        assert starts.shape == freqs_minus_1.shape and starts.ndim == 1
+        return _lib().fpc_enc_put_raw(
+            self._h, _ptr(starts, ctypes.c_uint16),
+            _ptr(freqs_minus_1, ctypes.c_uint16), starts.shape[0])
 
     def encode_bin(self, cdf_arr: np.ndarray, symbol_arr: np.ndarray) -> int:
         cdf_arr = np.ascontiguousarray(cdf_arr, dtype=np.uint16).reshape(-1)
