@@ -1,0 +1,109 @@
+"""Point-cloud geometry distortion metrics.
+
+Two paths, same metric keys as the reference's wrapper
+(reference: lib/metrics/pc_error_wrapper.py:40-107):
+  * ``mpeg_pc_error``: subprocess wrapper around the MPEG ``pc_error`` binary
+    when one is available (path via $PC_ERROR_BIN or config).
+  * ``compute_d1_d2_psnr``: in-process scipy implementation of the same
+    D1 (point-to-point) and D2 (point-to-plane) symmetric PSNR — the default
+    here since the prebuilt binary is not shipped with this repo.
+"""
+import os
+import re
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _nn(src: np.ndarray, dst: np.ndarray):
+    from scipy.spatial import cKDTree
+    dist, idx = cKDTree(dst).query(src, k=1, workers=-1)
+    return dist, idx
+
+
+def _estimate_normals(xyz: np.ndarray, k: int = 12) -> np.ndarray:
+    from scipy.spatial import cKDTree
+    tree = cKDTree(xyz)
+    _, nbr = tree.query(xyz, k=min(k, len(xyz)), workers=-1)
+    pts = xyz[nbr]                       # [N, k, 3]
+    centered = pts - pts.mean(1, keepdims=True)
+    cov = np.einsum('nki,nkj->nij', centered, centered)
+    # eigenvector of the smallest eigenvalue = surface normal
+    w, v = np.linalg.eigh(cov)
+    return v[:, :, 0]
+
+
+def compute_d1_d2_psnr(pred: np.ndarray, ref: np.ndarray, resolution: float,
+                       normals: Optional[np.ndarray] = None,
+                       compute_d2: bool = True) -> Dict[str, float]:
+    """Symmetric D1/D2 PSNR with peak = resolution - 1, matching MPEG
+    pc_error conventions (max of the two directional MSEs; derived key
+    'mse1+mse2 (p2point)' kept for parity with the reference's post-processing,
+    reference: lib/metrics/pc_error_wrapper.py:88-96)."""
+    pred = pred.astype(np.float64)
+    ref = ref.astype(np.float64)
+    peak2 = float(resolution - 1) ** 2
+
+    d_ab, idx_ab = _nn(pred, ref)
+    d_ba, idx_ba = _nn(ref, pred)
+    mse1 = float((d_ab ** 2).mean())
+    mse2 = float((d_ba ** 2).mean())
+    mse_sym = max(mse1, mse2)
+    out = {
+        'mse1      (p2point)': mse1,
+        'mse2      (p2point)': mse2,
+        'mseF      (p2point)': mse_sym,
+        'mse1+mse2 (p2point)': mse1 + mse2,
+        'mseF,PSNR (p2point)': 10 * np.log10(peak2 / mse_sym) if mse_sym > 0
+                               else float('inf'),
+    }
+    if compute_d2:
+        if normals is None:
+            normals = _estimate_normals(ref)
+        err_ab = pred - ref[idx_ab]
+        p2pl_ab = float((np.einsum('nd,nd->n', err_ab, normals[idx_ab]) ** 2).mean())
+        nrm_pred = normals[idx_ab]  # transfer ref normals to pred via NN
+        err_ba = ref - pred[idx_ba]
+        p2pl_ba = float((np.einsum('nd,nd->n', err_ba, nrm_pred[idx_ba]) ** 2).mean())
+        msef = max(p2pl_ab, p2pl_ba)
+        out['mseF      (p2plane)'] = msef
+        out['mseF,PSNR (p2plane)'] = (10 * np.log10(peak2 / msef)
+                                      if msef > 0 else float('inf'))
+    return out
+
+
+_FLOAT_RE = re.compile(r'(mse\S*|c\[\d\],PSNRF|h\.\S*)\s*[,:]?\s*(p2point|p2plane)?\)?\s*:\s*([0-9.e+-]+|inf)')
+
+
+def mpeg_pc_error(infile1: str, infile2: str, resolution: float,
+                  normal_file: str = '', color: bool = False,
+                  threads: int = 1, binary: str = '') -> Dict[str, float]:
+    """Run the MPEG pc_error binary and parse its stdout
+    (reference: lib/metrics/pc_error_wrapper.py:40-107). Returns {} if no
+    binary is available."""
+    binary = binary or os.environ.get('PC_ERROR_BIN', '')
+    if not binary or not os.path.isfile(binary):
+        return {}
+    cmd = [binary, f'--fileA={infile1}', f'--fileB={infile2}',
+           f'--resolution={resolution}', '--hausdorff=1',
+           f'--nbThreads={threads}']
+    if normal_file:
+        cmd.append(f'--inputNorm={normal_file}')
+    if color:
+        cmd.append('--color=1')
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    out = {}
+    for line in res.stdout.splitlines():
+        if ':' not in line:
+            continue
+        key, _, val = line.rpartition(':')
+        key = key.strip()
+        try:
+            out[key] = float(val)
+        except ValueError:
+            continue
+    if 'mse1      (p2point)' in out and 'mse2      (p2point)' in out:
+        out['mse1+mse2 (p2point)'] = (out['mse1      (p2point)'] +
+                                      out['mse2      (p2point)'])
+    return out

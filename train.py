@@ -1,0 +1,221 @@
+"""Training entry: ``python train.py <config.yaml> a.b=c ...``
+
+Same CLI contract as the reference harness (reference: train.py:35-129,
+README.md:72-103). TPU-native internals: one jitted DP train step over a
+jax.sharding.Mesh (shard_map + pmean) instead of DDP/NCCL, optax
+multi-group optimizers driven by the model's params_divider, EMA pytree,
+pickle checkpoints with the reference's resume-items semantics.
+"""
+import importlib
+import math
+import os
+import os.path as osp
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+from fastpcc_tpu.config import Config
+from fastpcc_tpu.utils import autoindex_obj, Timer, eta_by_seconds
+from fastpcc_tpu.utils.logging_utils import make_logger
+from fastpcc_tpu.utils.checkpoint import (save_checkpoint, load_checkpoint,
+                                          load_loose_params)
+from fastpcc_tpu.utils.ema import ema_decay, ema_update
+
+
+def build_optimizer(cfg_train, params_divider, steps_per_epoch: int):
+    """Per-param-group optimizer stack (reference: train.py:265-317).
+
+    Each group gets its own optimizer + Step LR schedule; groups are routed
+    by the model's params_divider over top-level param keys via
+    optax.multi_transform (the reference's params_divider routes modules to
+    optimizer indices, e.g. entropy-model params at lower LR)."""
+    import optax
+
+    n_groups = len(cfg_train.optimizer)
+
+    def make_one(i):
+        name = cfg_train.optimizer[i].lower()
+        lr0 = cfg_train.learning_rate[i]
+        step_size = max(cfg_train.lr_step_size[i], 1)
+        gamma = cfg_train.lr_step_gamma[i]
+        wd = cfg_train.weight_decay[i]
+        mom = cfg_train.momentum[i]
+
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return lr0 * gamma ** (epoch // step_size)
+
+        if name == 'adamw':
+            tx = optax.adamw(schedule, b1=mom, weight_decay=wd)
+        elif name == 'adam':
+            tx = optax.adam(schedule, b1=mom)
+        elif name == 'sgd':
+            tx = optax.sgd(schedule, momentum=mom)
+        else:
+            raise ValueError(f'unknown optimizer {name}')
+        if cfg_train.max_grad_norm[i] > 0:
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg_train.max_grad_norm[i]), tx)
+        return tx
+
+    txs = [make_one(i) for i in range(n_groups)]
+    if n_groups == 1:
+        return txs[0]
+
+    def label_fn(params):
+        return {k: f'g{params_divider(k)}' for k in params}
+
+    return optax.multi_transform({f'g{i}': t for i, t in enumerate(txs)},
+                                 label_fn)
+
+
+def main(argv: List[str]):
+    cfg = Config()
+    assert len(argv) >= 1 and argv[0].endswith('.yaml'), \
+        'usage: python train.py <config.yaml> [a.b=c ...]'
+    cfg.merge_with_yaml(argv[0])
+    cfg.merge_with_dotlist(argv[1:])
+    cfg.check()
+
+    run_dir = autoindex_obj(osp.join('runs', cfg.train.rundir_name))
+    os.makedirs(run_dir, exist_ok=True)
+    ckpts_dir = osp.join(run_dir, 'ckpts')
+    os.makedirs(ckpts_dir, exist_ok=True)
+    logger = make_logger('fastpcc', osp.join(run_dir, 'log.txt'))
+    with open(osp.join(run_dir, 'config.yaml'), 'w') as f:
+        f.write(cfg.to_yaml())
+    logger.info(f'run dir: {run_dir}')
+
+    if cfg.train.device == 'cpu':
+        os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    import jax
+    import jax.numpy as jnp
+    import optax
+    jax.config.update('jax_default_matmul_precision',
+                      {'highest': 'highest', 'high': 'default',
+                       'medium': 'bfloat16'}.get(
+                           cfg.float32_matmul_precision, 'default'))
+    from fastpcc_tpu.parallel import make_mesh, make_dp_train_step, shard_batch
+    from fastpcc_tpu.data.pc_data import pc_batch_to_codes
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(osp.join(run_dir, 'tb'))
+    except Exception:
+        tb = None
+
+    model_mod = importlib.import_module(cfg.model_module_path)
+    model = model_mod.Model(cfg.model)
+    dataset_mod = importlib.import_module(cfg.train.dataset_module_path)
+    dataset = dataset_mod.Dataset(cfg.train.dataset, True, logger)
+    logger.info(f'dataset: {len(dataset)} samples')
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info(f'model params: {n_params / 1e6:.2f}M')
+
+    steps_per_epoch = max(len(dataset) // cfg.train.batch_size, 1)
+    divider = getattr(model, 'params_divider', lambda name: 0)
+    tx = build_optimizer(cfg.train, divider, steps_per_epoch)
+    opt_state = tx.init(params)
+
+    start_epoch = 0
+    ema_params = None
+    if cfg.train.from_ckpt:
+        ckpt = load_checkpoint(cfg.train.from_ckpt)
+        if 'state_dict' in cfg.train.resume_items:
+            params, _ = load_loose_params(params, ckpt['state_dict'], logger)
+        if 'optimizer_state_dict' in cfg.train.resume_items \
+                and 'optimizer_state_dict' in ckpt:
+            opt_state = ckpt['optimizer_state_dict']
+        if 'scheduler_state_dict' in cfg.train.resume_items:
+            start_epoch = ckpt.get('last_epoch', -1) + 1
+        logger.info(f'resumed from {cfg.train.from_ckpt} @ epoch {start_epoch}')
+    if cfg.train.ema:
+        ema_params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+
+    n_dev = cfg.train.data_parallel or jax.local_device_count()
+    mesh = make_mesh(n_dev)
+    assert cfg.train.batch_size % n_dev == 0, \
+        f'batch_size {cfg.train.batch_size} % devices {n_dev} != 0'
+    local_bs = cfg.train.batch_size // n_dev
+    step_fn = make_dp_train_step(model.train_loss, tx, mesh)
+    logger.info(f'data parallel over {n_dev} device(s), '
+                f'{local_bs} sample(s)/device')
+
+    bits = model.bits
+    rng = np.random.default_rng(0)
+    global_step = 0
+    step_time_ema = None
+
+    for epoch in range(start_epoch, cfg.train.epochs):
+        order = rng.permutation(len(dataset)) if cfg.train.shuffle \
+            else np.arange(len(dataset))
+        for it in range(steps_per_epoch):
+            t0 = time.perf_counter()
+            idxs = order[it * cfg.train.batch_size:(it + 1) * cfg.train.batch_size]
+            # per-device packing: each device gets local_bs samples
+            dev_codes, dev_counts, dev_pn = [], [], []
+            cap = 0
+            pcs = []
+            for d in range(n_dev):
+                samples = [dataset[int(i)] for i in
+                           idxs[d * local_bs:(d + 1) * local_bs]]
+                pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
+                pcs.append(pc)
+                cap = max(cap, len(pc.codes))
+            for pc in pcs:
+                padded = np.full((cap,), np.iinfo(np.int64).max, np.int64)
+                padded[:len(pc.codes)] = pc.codes
+                dev_codes.append(padded)
+                dev_counts.append(pc.count)
+                dev_pn.append(pc.points_num)
+            codes, counts, pn = shard_batch(
+                mesh, np.stack(dev_codes), np.asarray(dev_counts, np.int32),
+                np.stack(dev_pn))
+            params, opt_state, loss, aux = step_fn(params, opt_state, codes,
+                                                   counts, pn)
+            global_step += 1
+            if cfg.train.ema:
+                d = ema_decay(global_step, cfg.train.ema_decay,
+                              cfg.train.ema_warmup, cfg.train.ema_warmup_gamma,
+                              cfg.train.ema_warmup_power)
+                ema_params = ema_update(ema_params, params, d)
+            dt = time.perf_counter() - t0
+            step_time_ema = dt if step_time_ema is None \
+                else 0.9 * step_time_ema + 0.1 * dt
+            if global_step % cfg.train.log_frequency == 0:
+                loss_v = float(loss)
+                remaining = (cfg.train.epochs - epoch) * steps_per_epoch - it
+                logger.info(
+                    f'epoch {epoch} step {it}/{steps_per_epoch} '
+                    f'loss {loss_v:.4f} {step_time_ema:.2f}s/step '
+                    f'ETA {eta_by_seconds(remaining * step_time_ema)}')
+                if tb is not None:
+                    tb.add_scalar('train/loss', loss_v, global_step)
+                    for k, v in aux.items():
+                        if k != 'loss':
+                            tb.add_scalar(f'train/{k}', float(v), global_step)
+
+        if (epoch + 1) % cfg.train.ckpt_frequency == 0 \
+                or epoch == cfg.train.epochs - 1:
+            path = osp.join(ckpts_dir, f'epoch_{epoch}.pt')
+            save_checkpoint(path, params, opt_state, epoch, ema_params)
+            logger.info(f'saved {path}')
+
+        if cfg.train.test_frequency and (epoch + 1) % cfg.train.test_frequency == 0:
+            from test import run_test
+            eval_params = ema_params if ema_params is not None else params
+            metrics = run_test(cfg, model, eval_params, logger,
+                               osp.join(run_dir, f'test_epoch{epoch}'))
+            if tb is not None:
+                for k, v in metrics.items():
+                    tb.add_scalar(f'test/{k}', v, global_step)
+
+    logger.info('training done')
+
+
+if __name__ == '__main__':
+    main(sys.argv[1:])
