@@ -22,24 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...nn.blocks import PReLU, ResBlock, SparseConv3x3
+from ...nn.blocks import PReLU, ResBlock, SparseConv3x3, StridedOctantConv
 from ...ops.sparse import gather_padded
-
-
-class StridedOctantConv(nn.Module):
-    """Kernel-2^k stride-2^k conv expressed as one GEMM over a dense
-    [M, 8^k, Cin] ancestor-gathered tensor (see ops.ancestor_gather_dense)."""
-    features: int
-    levels: int
-
-    @nn.compact
-    def __call__(self, dense: jax.Array) -> jax.Array:
-        m, k3, cin = dense.shape
-        w = self.param('kernel', nn.initializers.variance_scaling(
-            1 / 3, 'fan_in', 'uniform'), (k3, cin, self.features), jnp.float32)
-        b = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
-        out = jnp.einsum('mkc,kcf->mf', dense, w.astype(dense.dtype))
-        return out + b.astype(dense.dtype)
 
 
 class OneScalePredictor(nn.Module):

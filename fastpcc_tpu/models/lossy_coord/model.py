@@ -1,0 +1,429 @@
+"""lossy_coord — PCGCv2-style lossy geometry compression (baseline).
+
+TPU-native rebuild of the reference model
+(reference: models/convolutional/lossy_coord/model.py:34-526 with
+baseline.yaml): a 3-stage sparse encoder to an 8-channel bottleneck coded by
+a factorized (DeepFactorized) entropy model, and a 3-stage generative-
+upsample decoder that classifies candidate children and prunes adaptively to
+transmitted per-scale point budgets (reference:
+generative_upsample.py:29-171). Bottom-scale coordinates are coded raw with
+a bincount CDF (the reference shells out to G-PCC tmc3 here,
+model.py:386-397; tmc3 is not shipped, so the self-contained raw coder is
+the default).
+
+Bitstream: [4B n_points][4B bottom_n][3x4B offset]
+           [NUM_SCALES x 4B target counts]
+           [len-prefixed streams: EM bytes, bottom-coord bytes]
+"""
+import functools
+import io
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops import sparse as sp
+from ...ops.morton import morton_decode, np_morton_encode
+from ...runtime import RansEncoder, RansDecoder
+from ...entropy_models.batched import (ContinuousBatchedEntropyModel,
+                                       build_coder, compress_with_coder,
+                                       decompress_with_coder)
+from ...entropy_models.utils import concat_byte_streams, split_byte_streams
+from .network import EncoderStage, DecoderStage, ConvBlock3
+from .model_config import Config
+
+NUM_SCALES = 3  # encoder/decoder stages (PCGCv2 topology)
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    return max(1 << math.ceil(math.log2(max(n, 1))), minimum)
+
+
+def _bce(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
+    out = np.full((cap,), np.iinfo(np.int64).max if fill is None else fill,
+                  np.int64)
+    out[:len(arr)] = arr
+    return out
+
+
+class LossyNet(nn.Module):
+    """All learnable pieces; params live in one tree."""
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        enc_ch = c.encoder_channels          # (4, 16, 64, 64)
+        self.first = ConvBlock3(enc_ch[0], 'relu')
+        self.enc_stages = [
+            EncoderStage(enc_ch[i + 1],
+                         enc_ch[i + 1] if i < NUM_SCALES - 1
+                         else c.compressed_channels,
+                         c.basic_block_type, c.basic_block_num,
+                         last_act='relu' if i < NUM_SCALES - 1 else None)
+            for i in range(NUM_SCALES)]
+        self.em = ContinuousBatchedEntropyModel(
+            c.compressed_channels, tail_range=c.em_tail_range)
+        dec_ch = c.decoder_channels          # (64, 16, 4)
+        self.dec_stages = [
+            DecoderStage(dec_ch[i], c.basic_block_type, c.basic_block_num)
+            for i in range(NUM_SCALES)]
+
+    def encode_bottom(self, feats0, tables, pyramids):
+        """pyramids[s] = (child codes, child count, parent codes)."""
+        x = self.first(feats0, tables[0])
+        for i, stage in enumerate(self.enc_stages):
+            child_codes, child_count, parent_codes = pyramids[i]
+            dense = sp.ancestor_gather_dense(
+                child_codes, child_count, x, parent_codes,
+                self.cfg.coord_bits, 1)
+            x = stage(dense, tables[i + 1])
+        return x
+
+    def em_train(self, y, rng, mask):
+        y_tilde = self.em.perturb(y, rng)
+        return y_tilde, self.em.bits(y_tilde, mask)
+
+    def em_pmf(self, lower, upper):
+        return self.em.pmf_table(lower, upper)
+
+    def dec_child_feats(self, i: int, parent_feats):
+        return self.dec_stages[i].child_feats(parent_feats)
+
+    def dec_classify(self, i: int, cand_feats, cand_table):
+        return self.dec_stages[i].refine_and_classify(cand_feats, cand_table)
+
+
+def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
+    """Full training pass -> (loss, aux)."""
+    cfg = net.cfg
+    bits = cfg.coord_bits
+    cap = codes.shape[0]
+    dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
+
+    grids = [(codes, count)]
+    g = sp.VoxelGrid(codes=codes, count=count, bits=bits)
+    for s in range(NUM_SCALES):
+        parent, _, _ = sp.downsample_with_bins(g.codes, g.count, bits,
+                                               g.stride_log2)
+        grids.append((parent.codes, parent.count))
+        g = parent
+
+    tables = [sp.build_neighbor_table(grids[s][0], grids[s][1], bits,
+                                      bits - s)
+              for s in range(NUM_SCALES + 1)]
+
+    feats0 = jnp.ones((cap, 1), dtype)
+    pyramids = [(grids[s][0], grids[s][1], grids[s + 1][0])
+                for s in range(NUM_SCALES)]
+    y = net.encode_bottom(feats0, tables, pyramids).astype(jnp.float32)
+
+    valid_bottom = (jnp.arange(cap) < grids[NUM_SCALES][1]).astype(jnp.float32)
+    y_tilde, em_bits = net.em_train(y, rng, valid_bottom)
+    total_points = points_num.sum()
+
+    feats = (y_tilde * valid_bottom[:, None]).astype(dtype)
+    parent_codes, parent_count = grids[NUM_SCALES]
+    cand_cap = cap * 2
+    bce_total = 0.0
+    for i in range(NUM_SCALES):
+        scale_child = NUM_SCALES - 1 - i
+        child_dense = net.dec_child_feats(i, feats)        # [P, 8, C]
+        pcap = parent_codes.shape[0]
+        all8 = jnp.broadcast_to(
+            (jnp.arange(pcap) < parent_count)[:, None], (pcap, 8))
+        cand, p_of_c, oct_of_c = sp.expand_children(
+            parent_codes, parent_count, all8, bits, cand_cap)
+        flat = child_dense.reshape(pcap * 8, -1)
+        flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], 0)
+        cand_feats = flat[jnp.minimum(p_of_c * 8 + oct_of_c, pcap * 8)]
+        cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
+                                             bits - scale_child)
+        refined, logits = net.dec_classify(i, cand_feats, cand_table)
+        logits = logits.astype(jnp.float32)
+        target = sp.membership_mask(cand.codes, grids[scale_child][0],
+                                    grids[scale_child][1])
+        cand_valid = jnp.arange(cand_cap) < cand.count
+        bce = _bce(logits, target.astype(jnp.float32))
+        bce_total = bce_total + (bce * cand_valid).sum() / total_points
+
+        if i < NUM_SCALES - 1:
+            keep = (target | (logits > 0)) & cand_valid
+            new_codes, new_count, gather_idx = sp.mask_compact(
+                cand.codes, keep, cand_cap)
+            feats = sp.gather_padded(refined, gather_idx)
+            parent_codes, parent_count = new_codes, new_count
+
+    bpp = em_bits / total_points
+    warmup = jnp.where(jnp.asarray(step) < cfg.warmup_steps,
+                       cfg.warmup_bpp_loss_factor, cfg.bpp_loss_factor)
+    loss = bce_total * cfg.coord_recon_loss_factor + bpp * warmup
+    aux = {'loss': loss, 'bce_loss': bce_total, 'bpp_loss': bpp}
+    return loss, aux
+
+
+# --------------------------------------------------------------------------
+# adaptive pruning (eval)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=('levels',))
+def _local_max_mask(cand_codes, cand_count, logits, levels: int):
+    """True where a candidate holds the max logit within its 2^levels cell
+    (reference max-pool/unpool local-max, generative_upsample.py:75-84).
+    Sorted codes make cells contiguous -> segment max."""
+    n = cand_codes.shape[0]
+    anc = cand_codes >> (3 * levels)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int64), anc[:-1]])
+    seg_id = jnp.cumsum((anc != prev).astype(jnp.int32)) - 1
+    valid = jnp.arange(n) < cand_count
+    vals = jnp.where(valid, logits, -jnp.inf)
+    seg_max = jax.ops.segment_max(vals, seg_id, num_segments=n)
+    return (vals == seg_max[seg_id]) & valid
+
+
+@functools.partial(jax.jit, static_argnames=('levels',))
+def adaptive_keep_mask(cand_codes, cand_count, logits, target_num,
+                       levels: int):
+    """keep = (logit > threshold) | local-max, threshold = k-th smallest
+    non-local-max logit, k = n_valid - target (reference:
+    generative_upsample.py:73-100, BCE branch, batch size 1)."""
+    n = cand_codes.shape[0]
+    is_lmax = _local_max_mask(cand_codes, cand_count, logits, levels)
+    valid = jnp.arange(n) < cand_count
+    masked = valid & ~is_lmax
+    vals = jnp.where(masked, logits, jnp.inf)
+    order = jnp.sort(vals)
+    k = jnp.clip(cand_count - target_num, 1, n) - 1
+    threshold = order[k]
+    return ((logits > threshold) & valid) | is_lmax
+
+
+@functools.partial(jax.jit, static_argnames=('levels',))
+def simple_keep_mask(cand_codes, cand_count, logits, levels: int):
+    is_lmax = _local_max_mask(cand_codes, cand_count, logits, levels)
+    valid = jnp.arange(cand_codes.shape[0]) < cand_count
+    return ((logits > 0) & valid) | is_lmax
+
+
+# --------------------------------------------------------------------------
+
+
+class Model:
+    """Public API: train_loss / compress / decompress (mirrors the reference
+    Model class, lossy_coord/model.py:34)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.bits = cfg.coord_bits
+        self.net = LossyNet(cfg)
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
+            else jnp.float32
+        self._em_coder = None
+        self._rans_enc = None
+        self._rans_dec = None
+        # jitted encode/decode closures over the (static) module
+        self._jit_encode = jax.jit(
+            functools.partial(_encode_impl, self.net),
+            static_argnums=(3, 4))
+        self._jit_decode_stage = jax.jit(
+            functools.partial(_decode_stage_impl, self.net),
+            static_argnums=(1, 5, 6, 7, 9))
+
+    def init_params(self, rng: jax.Array, example_n: int = 512) -> Dict:
+        cap = _bucket(example_n)
+        codes_np = np.sort(np.random.default_rng(0).choice(
+            1 << 15, size=cap // 4, replace=False)).astype(np.int64)
+        codes = jnp.asarray(sp_pad(codes_np, cap))
+        count = jnp.int32(len(codes_np))
+        pn = jnp.asarray([float(len(codes_np))], jnp.float32)
+        v = self.net.init(rng, codes, count, pn, jax.random.PRNGKey(1),
+                          jnp.int32(0), method=_train_apply)
+        return v['params']
+
+    def train_loss(self, params, codes, count, points_num, step=0,
+                   rng: Optional[jax.Array] = None):
+        if rng is None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(7), jnp.asarray(step))
+        return self.net.apply({'params': params}, codes, count, points_num,
+                              rng, step, method=_train_apply)
+
+    # --------------------------------------------------------- coding
+
+    def _coders(self, params):
+        if self._em_coder is None:
+            self._em_coder = build_coder(
+                self.net.apply, {'params': params},
+                self.cfg.compressed_channels, self.cfg.em_tail_range)
+            self._rans_enc = RansEncoder(1 << 22)
+            self._rans_dec = RansDecoder()
+        return self._em_coder, self._rans_enc, self._rans_dec
+
+    def _encode_bottom_coords(self, enc: RansEncoder,
+                              coords: np.ndarray) -> bytes:
+        values = coords.reshape(-1).astype(np.int64)
+        k = max(int(values.max(initial=0)) + 1, 2)
+        pmf = np.bincount(values, minlength=k).astype(np.float64) / len(values)
+        q = np.floor(pmf * (65536 - k)) + 1.0
+        cdf = np.cumsum(q)
+        cdf[-1] = 65535
+        cdf = cdf.astype(np.uint16)
+        enc.encode(cdf[None], values.astype(np.uint16))
+        side1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
+        side1[-1] = 65535
+        side2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
+        side2[-1] = 65535
+        enc.encode(side1[None], cdf[:-1].astype(np.int64).astype(np.uint16) - 1)
+        enc.encode(side2[None], np.array([k - 2], dtype=np.uint16))
+        return enc.flush()
+
+    def _decode_bottom_coords(self, dec: RansDecoder, blob: bytes,
+                              n_values: int) -> np.ndarray:
+        dec.flush(blob)
+        side2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
+        side2[-1] = 65535
+        k_arr = np.empty((1,), np.uint16)
+        dec.decode(side2[None], k_arr)
+        k = int(k_arr[0]) + 2
+        side1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
+        side1[-1] = 65535
+        row = np.empty((k - 1,), np.uint16)
+        dec.decode(side1[None], row)
+        cdf = np.zeros((k,), np.uint16)
+        cdf[:-1] = row + 1
+        cdf[-1] = 65535
+        values = np.empty((n_values,), np.uint16)
+        dec.decode(cdf[None], values)
+        return values.astype(np.int32)
+
+    def compress(self, params, xyz: np.ndarray) -> bytes:
+        em_coder, enc, _ = self._coders(params)
+        offset = xyz.min(0)
+        codes_np = np.unique(np_morton_encode((xyz - offset).astype(np.int64)))
+        n = len(codes_np)
+        cap = _bucket(n)
+        codes = jnp.asarray(sp_pad(codes_np, cap))
+        count = jnp.int32(n)
+
+        y_int, bottom_codes_np, targets = self._jit_encode(
+            {'params': params}, codes, count, self.bits, self.compute_dtype)
+        bottom_n = int((bottom_codes_np != np.iinfo(np.int64).max).sum())
+        y_host = np.asarray(y_int)[:bottom_n]
+        em_streams = compress_with_coder(em_coder, y_host[None])
+        bottom_coords = np.asarray(morton_decode(
+            jnp.asarray(bottom_codes_np[:bottom_n])))
+        coord_stream = self._encode_bottom_coords(enc, bottom_coords)
+
+        scaler = self.cfg.adaptive_pruning_num_scaler
+        tgt = [int(t * scaler) for t in np.asarray(targets)]
+
+        with io.BytesIO() as bs:
+            bs.write(n.to_bytes(4, 'little'))
+            bs.write(bottom_n.to_bytes(4, 'little'))
+            for v in offset.tolist():
+                bs.write(int(v).to_bytes(4, 'little', signed=True))
+            for t in tgt:
+                bs.write(int(t).to_bytes(4, 'little'))
+            bs.write(concat_byte_streams([em_streams[0], coord_stream]))
+            return bs.getvalue()
+
+    def decompress(self, params, data: bytes) -> np.ndarray:
+        em_coder, _, dec = self._coders(params)
+        with io.BytesIO(data) as bs:
+            n = int.from_bytes(bs.read(4), 'little')
+            bottom_n = int.from_bytes(bs.read(4), 'little')
+            offset = np.array([int.from_bytes(bs.read(4), 'little', signed=True)
+                               for _ in range(3)], np.int64)
+            targets = [int.from_bytes(bs.read(4), 'little')
+                       for _ in range(NUM_SCALES)]
+            em_stream, coord_stream = split_byte_streams(bs.read(), 2)
+
+        y_int = decompress_with_coder(
+            em_coder, [em_stream],
+            (bottom_n, self.cfg.compressed_channels))[0]
+        coords = self._decode_bottom_coords(
+            dec, coord_stream, bottom_n * 3).reshape(-1, 3)
+        bottom_codes = np.sort(np_morton_encode(coords.astype(np.int64)))
+
+        cap = _bucket(n)
+        parent_codes = jnp.asarray(sp_pad(bottom_codes, cap))
+        parent_count = jnp.int32(bottom_n)
+        feats = jnp.asarray(
+            sp_pad2(y_int.astype(np.float32), cap)).astype(self.compute_dtype)
+
+        for i in range(NUM_SCALES):
+            scale_child = NUM_SCALES - 1 - i
+            cand_cap = _bucket(min(int(parent_count) * 8, 8 * cap))
+            out = self._jit_decode_stage(
+                {'params': params}, i, feats, parent_codes,
+                parent_count, self.bits, scale_child, cand_cap,
+                jnp.int32(targets[scale_child]),
+                self.cfg.adaptive_pruning)
+            parent_codes, parent_count, feats = out
+        final_count = int(parent_count)
+        xyz = np.asarray(morton_decode(parent_codes[:final_count]))
+        return xyz + offset[None]
+
+
+def sp_pad2(arr: np.ndarray, cap: int) -> np.ndarray:
+    out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+    out[:len(arr)] = arr
+    return out
+
+
+def _encode_impl(net, variables, codes, count, bits, dtype):
+    """Encoder pass -> (rounded bottleneck, bottom codes, per-scale counts)."""
+    cap = codes.shape[0]
+    grids = [(codes, count)]
+    g = sp.VoxelGrid(codes=codes, count=count, bits=bits)
+    for s in range(NUM_SCALES):
+        parent, _, _ = sp.downsample_with_bins(g.codes, g.count, bits,
+                                               g.stride_log2)
+        grids.append((parent.codes, parent.count))
+        g = parent
+    tables = [sp.build_neighbor_table(grids[s][0], grids[s][1], bits, bits - s)
+              for s in range(NUM_SCALES + 1)]
+    feats0 = jnp.ones((cap, 1), dtype)
+    pyramids = [(grids[s][0], grids[s][1], grids[s + 1][0])
+                for s in range(NUM_SCALES)]
+    y = net.apply(variables, feats0, tables, pyramids,
+                  method=LossyNet.encode_bottom).astype(jnp.float32)
+    y_int = jnp.round(y).astype(jnp.int32)
+    targets = jnp.stack([grids[s][1] for s in range(NUM_SCALES)])
+    return y_int, grids[NUM_SCALES][0], targets
+
+
+def _decode_stage_impl(net, variables, stage_i, feats, parent_codes,
+                       parent_count, bits, scale_child, cand_cap, target_num,
+                       adaptive):
+    child_dense = net.apply(variables, stage_i, feats,
+                            method=LossyNet.dec_child_feats)
+    pcap = parent_codes.shape[0]
+    all8 = jnp.broadcast_to((jnp.arange(pcap) < parent_count)[:, None],
+                            (pcap, 8))
+    cand, p_of_c, oct_of_c = sp.expand_children(
+        parent_codes, parent_count, all8, bits, cand_cap)
+    flat = child_dense.reshape(pcap * 8, -1)
+    flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], 0)
+    cand_feats = flat[jnp.minimum(p_of_c * 8 + oct_of_c, pcap * 8)]
+    cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
+                                         bits - scale_child)
+    refined, logits = net.apply(variables, stage_i, cand_feats, cand_table,
+                                method=LossyNet.dec_classify)
+    logits = logits.astype(jnp.float32)
+    levels = NUM_SCALES - scale_child
+    if adaptive:
+        keep = adaptive_keep_mask(cand.codes, cand.count, logits, target_num,
+                                  levels)
+    else:
+        keep = simple_keep_mask(cand.codes, cand.count, logits, levels)
+    new_codes, new_count, gather_idx = sp.mask_compact(cand.codes, keep,
+                                                       cand_cap)
+    new_feats = sp.gather_padded(refined, gather_idx)
+    return new_codes, new_count, new_feats

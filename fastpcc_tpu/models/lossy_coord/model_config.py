@@ -1,0 +1,27 @@
+"""Config for the lossy-coordinate model (PCGCv2 reimplementation baseline,
+reference: models/convolutional/lossy_coord/model_config.py + baseline.yaml)."""
+from dataclasses import dataclass
+from typing import Tuple
+
+from fastpcc_tpu.config import SimpleConfig
+
+
+@dataclass
+class Config(SimpleConfig):
+    basic_block_type: str = 'InceptionResBlock'   # or 'ResBlock'
+    basic_block_num: int = 3
+    compressed_channels: int = 8
+    encoder_channels: Tuple[int, ...] = (4, 16, 64, 64)
+    decoder_channels: Tuple[int, ...] = (64, 16, 4)
+    coord_recon_loss_type: str = 'BCE'
+    coord_recon_loss_factor: float = 1.0
+    adaptive_pruning: bool = True
+    adaptive_pruning_num_scaler: float = 1.0
+    bpp_loss_factor: float = 0.3
+    warmup_steps: int = 1000
+    warmup_bpp_loss_factor: float = 0.01
+
+    coord_bits: int = 18
+    compute_dtype: str = 'bfloat16'
+    em_tail_range: int = 32
+    cand_capacity_factor: int = 8   # candidate buffer = factor * parent cap

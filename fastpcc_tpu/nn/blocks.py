@@ -57,6 +57,49 @@ class ResBlock(nn.Module):
         return PReLU()(x)
 
 
+class StridedOctantConv(nn.Module):
+    """Kernel-2^k stride-2^k conv as one GEMM over a dense [M, 8^k, Cin]
+    ancestor-gathered tensor (see ops.ancestor_gather_dense). The TPU-native
+    form of strided sparse convolutions: one MXU-shaped matmul instead of
+    per-offset gather/scatter."""
+    features: int
+    levels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, dense: jax.Array) -> jax.Array:
+        m, k3, cin = dense.shape
+        w = self.param('kernel', nn.initializers.variance_scaling(
+            1 / 3, 'fan_in', 'uniform'), (k3, cin, self.features), jnp.float32)
+        out = jnp.einsum('mkc,kcf->mf', dense, w.astype(dense.dtype))
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(dense.dtype)
+        return out
+
+
+class OctantTransposeConv(nn.Module):
+    """Generative transpose of StridedOctantConv (kernel-2 stride-2): every
+    parent emits features for all 8 children in one GEMM -> [M, 8, Cout]
+    (the reference's MinkowskiGenerativeConvolutionTranspose,
+    lib/minkowski_sparse_conv_layers.py:146-160)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feats: jax.Array) -> jax.Array:
+        m, cin = feats.shape
+        w = self.param('kernel', nn.initializers.variance_scaling(
+            1 / 3, 'fan_in', 'uniform'), (8, cin, self.features), jnp.float32)
+        out = jnp.einsum('mc,kcf->mkf', feats, w.astype(feats.dtype))
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            out = out + b.astype(feats.dtype)
+        return out
+
+
 class MLP(nn.Module):
     """Dense stack with PReLU between layers (pointwise ops on sparse feats)."""
     features: Sequence[int]

@@ -227,6 +227,38 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=('capacity',))
+def mask_compact(codes: jax.Array, mask: jax.Array, capacity: int):
+    """Compact a sorted padded code array by a boolean mask.
+
+    Returns (codes_out [capacity], count, gather_idx [capacity]) where
+    gather_idx maps each output row to its source row (len(codes) for
+    padding -> pairs with gather_padded zero rows). The pruning primitive of
+    generative upsampling (reference: MinkowskiPruning in
+    lossy_coord/generative_upsample.py:50,68)."""
+    n = codes.shape[0]
+    mask = mask & (codes != INVALID_CODE)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    scatter_idx = jnp.where(mask, pos, capacity)
+    codes_out = jnp.full((capacity,), INVALID_CODE).at[scatter_idx].set(
+        codes, mode='drop')
+    gather_idx = jnp.full((capacity,), n, jnp.int32).at[scatter_idx].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    return codes_out, cnt, gather_idx
+
+
+@functools.partial(jax.jit, static_argnames=('bits',))
+def membership_mask(query_codes: jax.Array, ref_codes: jax.Array,
+                    ref_count: jax.Array, bits: int = 0) -> jax.Array:
+    """True where query code exists in the sorted ref array (both padded)."""
+    del bits
+    n = ref_codes.shape[0]
+    idx = jnp.minimum(jnp.searchsorted(ref_codes, query_codes), n - 1)
+    return (ref_codes[idx] == query_codes) & (query_codes != INVALID_CODE) & \
+        (idx < ref_count)
+
+
 def ancestor_gather_dense(child_codes: jax.Array, child_count: jax.Array,
                           child_feats: jax.Array, ancestor_codes: jax.Array,
                           bits: int, levels: int) -> jax.Array:
