@@ -17,6 +17,7 @@ def main():
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--iters', type=int, default=3)
     ap.add_argument('--resolution', type=int, default=65536)
+    ap.add_argument('--profile', action='store_true')
     args = ap.parse_args()
 
     import jax
@@ -29,6 +30,7 @@ def main():
     cfg.coord_bits = 16
     cfg.check()
     model = Model(cfg)
+    model.profile = args.profile
     params = model.init_params(jax.random.PRNGKey(0))
 
     xyz = synthetic_lidar_scan(seed=0, resolution=args.resolution)
@@ -54,6 +56,12 @@ def main():
     enc = float(np.median(enc_times))
     dec = float(np.median(dec_times))
     mpts = n / (enc + dec) / 1e6
+    if args.profile:
+        import sys
+        prof = {k: round(v / args.iters, 3)
+                for k, v in model.last_profile.items()}
+        print(f'enc={enc:.2f}s dec={dec:.2f}s profile/iter: {prof}',
+              file=sys.stderr)
     print(json.dumps({
         'metric': f'lossl_coord ch{args.channels} encode+decode throughput '
                   f'(synthetic KITTI-like scan, {n} pts, '

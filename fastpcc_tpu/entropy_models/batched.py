@@ -59,14 +59,14 @@ class ContinuousBatchedEntropyModel(nn.Module):
         return p.T
 
 
-def build_coder(apply_fn, params, channels: int, tail_range: int,
+def build_coder(pmf_fn, channels: int, tail_range: int,
                 batch_size: int = 1) -> IndexedRansCoder:
     """Host-side CDF-table construction (the analog of the reference's
     .eval()-triggered build_quantized_cdf_table, continuous_base.py:87-146,
-    made explicit here — no implicit mode-switch side effects)."""
-    pmf = np.asarray(apply_fn(params, -tail_range, tail_range,
-                              method=ContinuousBatchedEntropyModel.pmf_table),
-                     dtype=np.float64)
+    made explicit here — no implicit mode-switch side effects).
+
+    pmf_fn(lower, upper) -> [C, upper-lower+1] pmf array."""
+    pmf = np.asarray(pmf_fn(-tail_range, tail_range), dtype=np.float64)
     offsets = np.full((channels,), -tail_range, np.int32)
     coder = IndexedRansCoder(True, batch_size)
     coder.init_with_pmfs(pmf, offsets)

@@ -40,11 +40,11 @@ class DeepFactorized(nn.Module):
                            jnp.float32)
             b = self.param(f'b{k}', nn.initializers.uniform(1.0),
                            (self.channels, f[k + 1], 1), jnp.float32)
-            u = jnp.einsum('cij,...cj->...ci', jax.nn.softplus(h), u) + b
+            u = jnp.einsum('cij,...cj->...ci', jax.nn.softplus(h), u) + b[..., 0]
             if k < len(f) - 2:
                 a = self.param(f'a{k}', nn.initializers.zeros,
                                (self.channels, f[k + 1], 1), jnp.float32)
-                u = u + jnp.tanh(a) * jnp.tanh(u)
+                u = u + jnp.tanh(a[..., 0]) * jnp.tanh(u)
         return u[..., 0]
 
     def __call__(self, x):

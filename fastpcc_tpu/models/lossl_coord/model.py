@@ -16,6 +16,7 @@ Bitstream layout (little-endian), mirroring the reference with one addition:
 import io
 import math
 import functools
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -35,6 +36,21 @@ NUM_CLASSES = 255
 
 def _bucket(n: int, minimum: int = 1024) -> int:
     return max(1 << math.ceil(math.log2(max(n, 1))), minimum)
+
+
+_CHUNK_BYTES = 4 << 20
+
+
+def fetch_chunked(arr: jax.Array, n_rows: int) -> np.ndarray:
+    """Device->host fetch in ~4MB chunks: the axon tunnel degrades badly on
+    large single transfers (measured ~2MB/s at 64MB vs ~30MB/s at 2-8MB)."""
+    row_bytes = max(int(np.prod(arr.shape[1:])) * arr.dtype.itemsize, 1)
+    rows_per_chunk = max(_CHUNK_BYTES // row_bytes, 1)
+    if n_rows <= rows_per_chunk:
+        return np.asarray(arr[:n_rows])
+    parts = [np.asarray(arr[i:min(i + rows_per_chunk, n_rows)])
+             for i in range(0, n_rows, rows_per_chunk)]
+    return np.concatenate(parts, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -147,11 +163,14 @@ class Model:
         self.bits = cfg.coord_bits
         (self.max_down, self.max_down_wo, self.specs,
          self.blocks) = make_blocks(cfg.channels, cfg.max_stride,
-                                    cfg.max_stride_wo_recurrent, cfg.fea_stride)
+                                    cfg.max_stride_wo_recurrent, cfg.fea_stride,
+                                    cfg.feature_propagation)
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
             else jnp.float32
         self._enc = None
         self._dec = None
+        self.profile = False
+        self.last_profile: Dict[str, float] = {}
         # side-info CDFs for bottom-coordinate coding
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
@@ -244,6 +263,8 @@ class Model:
         feats = jnp.ones((cap, 1), self.compute_dtype)
         loss_dict = {}
         for idx in range(self.max_down, 0, -1):
+            if not self.cfg.feature_propagation:
+                feats = jnp.ones((cap, 1), self.compute_dtype)
             name, mod = self._block_info(idx, self.max_down)
             p = params[name]
             _, _, bins_i, c2p_i, oct_i, _ = scale(idx)
@@ -390,6 +411,8 @@ class Model:
         feats = jnp.ones((cap, 1), self.compute_dtype)
         collected = []
         for idx in range(top, 0, -1):
+            if not self.cfg.feature_propagation:
+                feats = jnp.ones((cap, 1), self.compute_dtype)
             name, mod = self._block_info(idx, top)
             p = params[name]
             if isinstance(mod, OneScalePredictor):
@@ -432,6 +455,11 @@ class Model:
                 feats = root_out
         return collected
 
+    def _prof(self, key, t0):
+        if self.profile:
+            self.last_profile[key] = (self.last_profile.get(key, 0.0)
+                                      + time.perf_counter() - t0)
+
     def _code_scale(self, idx, logits, states, symbols_of, decode_scale,
                     collected):
         """Turn one scale's logits into coded symbols (encode) or decoded
@@ -441,16 +469,22 @@ class Model:
         if symbols_of is not None:   # encode path
             syms = symbols_of(idx)
             starts, freqs = _enc_pairs(cdfs, syms)
+            t0 = time.perf_counter()
             collected.insert(0, (np.asarray(starts[:st.n]),
                                  np.asarray(freqs[:st.n])))
+            self._prof('enc_pair_fetch', t0)
             if st.bins is None:
                 st.bins = sp.symbols_to_bins(syms).astype(jnp.float32)
             return st.bins
         # decode path
         _, dec = self._coders()
-        cdf_host = np.asarray(cdfs[:st.n])
+        t0 = time.perf_counter()
+        cdf_host = fetch_chunked(cdfs, st.n)
+        self._prof('dec_cdf_fetch', t0)
+        t0 = time.perf_counter()
         syms_host = np.empty((st.n,), np.uint16)
         dec.decode(cdf_host, syms_host)
+        self._prof('dec_rans', t0)
         cap = st.codes.shape[0]
         syms = jnp.asarray(sp_pad_codes(
             syms_host.astype(np.int64), cap, fill=0)).astype(jnp.int32)

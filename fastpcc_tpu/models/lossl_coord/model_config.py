@@ -12,6 +12,8 @@ class Config(SimpleConfig):
     max_stride: int = 8192
     fea_stride: int = 16
     use_more_ch_for_multi_step_pred: bool = False
+    feature_propagation: bool = True  # False = wo_fea_prop ablation
+                                      # (reference: lossl_coord_wo_fea_prop)
     coord_bits: int = 18            # bits per axis for Morton packing (batch in high bits)
     bucket_growth: float = 1.5      # padded-shape bucketing factor (recompile control)
 

@@ -179,20 +179,32 @@ def block_plan(max_stride: int, max_stride_wo_recurrent: int, fea_stride: int):
 
 
 def make_blocks(channels: int, max_stride: int, max_stride_wo_recurrent: int,
-                fea_stride: int):
+                fea_stride: int, feature_propagation: bool = True):
     """Instantiate the per-scale block modules.
 
     Returns (max_down, max_down_wo, specs, blocks) where blocks is a dict
     name -> module: 'rec' plus 'b{i}' for i in 0..max_down_wo-1. Blocks are
     standalone modules (params keyed per block) so that jit traces of the
     per-scale step functions are shared across blocks with identical
-    parameter structure."""
+    parameter structure.
+
+    feature_propagation=False is the wo_fea_prop ablation: every scale starts
+    from fresh ones-features through its own dec_init conv instead of the
+    learned upsample (reference: lossl_coord_wo_fea_prop/model.py:25-99 with
+    fea_stride 2, the wo_redens configuration)."""
+    if not feature_propagation:
+        assert fea_stride == 2, 'wo_fea_prop requires fea_stride=2 (wo_redens)'
     max_down, max_down_wo, specs = block_plan(max_stride, max_stride_wo_recurrent,
                                               fea_stride)
-    blocks = {'rec': OneScalePredictor(channels, True, allow_single_ch=True)}
+    blocks = {'rec': OneScalePredictor(channels, feature_propagation,
+                                       allow_single_ch=True)}
     for i, (kind, arg) in enumerate(specs):
         if kind == 'osp':
-            blocks[f'b{i}'] = OneScalePredictor(channels, if_upsample=arg)
+            if feature_propagation:
+                blocks[f'b{i}'] = OneScalePredictor(channels, if_upsample=arg)
+            else:
+                blocks[f'b{i}'] = OneScalePredictor(channels, False,
+                                                    allow_single_ch=True)
         else:
             blocks[f'b{i}'] = OneScaleMultiStepPredictor(channels, arg)
     return max_down, max_down_wo, specs, blocks

@@ -258,9 +258,11 @@ class Model:
 
     def _coders(self, params):
         if self._em_coder is None:
+            def pmf_fn(lower, upper):
+                return self.net.apply({'params': params}, lower, upper,
+                                      method=LossyNet.em_pmf)
             self._em_coder = build_coder(
-                self.net.apply, {'params': params},
-                self.cfg.compressed_channels, self.cfg.em_tail_range)
+                pmf_fn, self.cfg.compressed_channels, self.cfg.em_tail_range)
             self._rans_enc = RansEncoder(1 << 22)
             self._rans_dec = RansDecoder()
         return self._em_coder, self._rans_enc, self._rans_dec

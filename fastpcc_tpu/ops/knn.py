@@ -35,7 +35,7 @@ def knn(query: jax.Array, ref: jax.Array, ref_count, k: int = 1,
         r = jax.lax.dynamic_slice(ref_p, (t * tile, 0), (tile, 3))
         r2 = (r * r).sum(-1)                              # [T]
         d = q2 - 2.0 * (query @ r.T) + r2[None, :]        # [Nq, T]
-        gid = t * tile + jnp.arange(tile, dtype=jnp.int32)
+        gid = (t * tile + jnp.arange(tile)).astype(jnp.int32)
         valid = gid < ref_count
         d = jnp.where(valid[None, :], d, jnp.inf)
         cat_d = jnp.concatenate([bd, d], axis=1)

@@ -18,8 +18,10 @@ def test_deep_factorized_is_valid_pmf():
     mod = DeepFactorized(channels=4)
     params = mod.init(jax.random.PRNGKey(0),
                       jnp.zeros((1, 4)), method=DeepFactorized.logits_cdf)
-    xs = jnp.arange(-40, 41, dtype=jnp.float32)
-    grid = jnp.broadcast_to(xs[:, None], (81, 4))
+    # init_scale=10 puts the CDF's unit slope near x/10; +-150 covers the
+    # tails to ~1e-6 mass
+    xs = jnp.arange(-150, 151, dtype=jnp.float32)
+    grid = jnp.broadcast_to(xs[:, None], (301, 4))
     p = noisy_logits_likelihood(
         lambda x: mod.apply(params, x, method=DeepFactorized.logits_cdf), grid)
     total = np.asarray(p.sum(0))
@@ -52,7 +54,10 @@ def test_batched_em_roundtrip():
     em = ContinuousBatchedEntropyModel(channels=3, tail_range=16)
     y = jax.random.normal(jax.random.PRNGKey(1), (50, 3)) * 2
     params = em.init(jax.random.PRNGKey(0), y, jax.random.PRNGKey(2))
-    coder = build_coder(em.apply, params, 3, 16, batch_size=1)
+    coder = build_coder(
+        lambda lo, hi: em.apply(params, lo, hi,
+                                method=ContinuousBatchedEntropyModel.pmf_table),
+        3, 16, batch_size=1)
     y_int = np.asarray(jnp.round(y)).astype(np.int32)[None]
     streams = compress_with_coder(coder, y_int)
     decoded = decompress_with_coder(coder, streams, (50, 3))

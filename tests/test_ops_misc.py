@@ -79,7 +79,7 @@ def test_ema_warmup_schedule():
     d_late = float(ema_decay(10 ** 6, 0.9999, use_warmup=True))
     assert d0 == 0.0
     assert 0 < d_mid < 0.9999
-    assert d_late == 0.9999
+    assert abs(d_late - 0.9999) < 1e-9
     p = {'w': jnp.ones((3,))}
     e = {'w': jnp.zeros((3,))}
     out = ema_update(e, p, 0.9)
