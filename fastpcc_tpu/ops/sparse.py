@@ -207,24 +207,44 @@ def gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
-                      bias: Optional[jax.Array] = None) -> jax.Array:
+                      bias: Optional[jax.Array] = None,
+                      row_chunk: int = 16384) -> jax.Array:
     """Apply a 3^3 sparse conv given a neighbor table.
 
     feats:   [N, Cin]
     table:   [N, 27] indices (N == miss)
     weights: [27, Cin, Cout]
+
+    One fused gather into [chunk, 27, Cin] then a single
+    [chunk, 27*Cin] x [27*Cin, Cout] GEMM per row chunk: contraction dim
+    27*Cin is MXU-shaped, and there is exactly one gather pass over the
+    features (27 per-tap gathers ran at ~1% MXU utilization on v5e).
     """
     n, cin = feats.shape
+    k = table.shape[1]
     cout = weights.shape[-1]
     padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    acc = jnp.zeros((n, cout), feats.dtype)
-    # Unrolled accumulation keeps peak memory at one gathered [N, Cin] buffer
-    # while XLA fuses gather + GEMM per tap.
-    for k in range(table.shape[1]):
-        acc = acc + padded[table[:, k]] @ weights[k]
+    w2d = weights.reshape(k * cin, cout)
+
+    if n <= row_chunk:
+        gathered = padded[table]                       # [N, 27, Cin]
+        out = gathered.reshape(n, k * cin) @ w2d
+    else:
+        n_chunks = -(-n // row_chunk)
+        pad_rows = n_chunks * row_chunk - n
+        table_p = jnp.pad(table, ((0, pad_rows), (0, 0)),
+                          constant_values=n)
+
+        def body(tbl_chunk):
+            g = padded[tbl_chunk]                      # [chunk, 27, Cin]
+            return g.reshape(row_chunk, k * cin) @ w2d
+
+        out = jax.lax.map(body,
+                          table_p.reshape(n_chunks, row_chunk, k))
+        out = out.reshape(n_chunks * row_chunk, cout)[:n]
     if bias is not None:
-        acc = acc + bias
-    return acc
+        out = out + bias
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=('capacity',))
