@@ -94,10 +94,15 @@ class ContinuousIndexedEntropyModel(nn.Module):
         if len(self.index_ranges) == 1:
             return indexes.reshape(indexes.shape[:-1]) \
                 if indexes.shape[-1] == 1 else indexes
-        strides = np.cumprod((self.index_ranges[1:] + (1,))[::-1])[::-1]
-        strides = jnp.asarray(strides.copy(), indexes.dtype)
+        strides = jnp.asarray(flat_index_strides(self.index_ranges),
+                              indexes.dtype)
         return (indexes * strides).sum(-1)
 
 
 def flat_index_strides(index_ranges: Sequence[int]) -> np.ndarray:
-    return np.cumprod(list(index_ranges[1:]) + [1][::-1])[::-1]
+    """strides[i] = prod(index_ranges[i+1:]) (row-major flattening,
+    reference: continuous_indexed.py:157-172)."""
+    out = np.ones(len(index_ranges), np.int64)
+    for i in range(len(index_ranges) - 2, -1, -1):
+        out[i] = out[i + 1] * index_ranges[i + 1]
+    return out

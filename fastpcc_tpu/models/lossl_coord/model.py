@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 from ...ops import sparse as sp
 from ...ops.morton import morton_decode, np_morton_encode
+from ...ops.device_rans import (init_lane_state, lane_encode_segment,
+                                lane_decode_segment, lane_flush_to_bytes,
+                                lane_bytes_to_state)
 from ...runtime import RansEncoder, RansDecoder
 from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
                       make_blocks)
@@ -359,9 +362,11 @@ class Model:
         n = len(codes_np)
         cap = _bucket(n)
         top = self.max_down - self.cfg.skip_top_scales_num
+        t0 = time.perf_counter()
         codes = jnp.asarray(sp_pad_codes(codes_np, cap))
         pyramid = _build_pyramid(codes, jnp.int32(n), self.bits, top)
         counts = jax.device_get([pyramid[s - 1][1] for s in range(1, top + 1)])
+        self._prof('pyramid', t0)
 
         states: Dict[int, _ScaleState] = {
             0: _ScaleState(codes, jnp.int32(n), n)}
@@ -378,26 +383,48 @@ class Model:
 
         collected = self._run_scales(params, states, top, symbols_of)
 
-        # LIFO: finest scale pushed first so the decoder pops coarsest first
-        for starts, freqs in collected:
-            enc.encode_raw(starts, freqs)
+        if self.cfg.device_coder:
+            # lane coder: encode segments finest-first (LIFO), all on device
+            t0 = time.perf_counter()
+            lane = init_lane_state(self.cfg.coder_lanes,
+                                   self._lane_byte_capacity(cap))
+            for starts, freqs, count in collected:
+                lane = lane_encode_segment(*lane, starts, freqs, count)
+            lane_blob = lane_flush_to_bytes(*lane)
+            self._prof('lane_encode', t0)
+        else:
+            for starts, freqs in collected:
+                enc.encode_raw(starts, freqs)
+            lane_blob = b''
         bottom_coords = np.asarray(
             morton_decode(states[top].codes[:states[top].n]
                           & ((jnp.int64(1) << (3 * self.bits)) - 1)))
         self._encode_bottom_coords(enc, bottom_coords)
 
         with io.BytesIO() as bs:
+            bs.write(bytes([1 if self.cfg.device_coder else 0]))
             for v in offset.tolist():
                 bs.write(int(v).to_bytes(2, 'little'))
             bs.write(states[top].n.to_bytes(2, 'little'))
             bs.write(n.to_bytes(4, 'little'))
+            if lane_blob:
+                bs.write(len(lane_blob).to_bytes(4, 'little'))
+                bs.write(lane_blob)
             bs.write(enc.flush())
             return bs.getvalue()
 
+    def _lane_byte_capacity(self, cap: int) -> int:
+        worst = 2 * (self.max_down + 1) * cap // self.cfg.coder_lanes + 8
+        return max(1 << math.ceil(math.log2(worst)), 4096)
+
     def _table(self, state: _ScaleState, s: int):
         if state.table is None:
+            t0 = time.perf_counter()
             state.table = sp.build_neighbor_table(
                 state.codes, state.count, self.bits, self.bits - s)
+            if self.profile:
+                jax.block_until_ready(state.table)
+            self._prof('table_build', t0)
         return state.table
 
     def _run_scales(self, params, states, top, symbols_of,
@@ -416,11 +443,16 @@ class Model:
             name, mod = self._block_info(idx, top)
             p = params[name]
             if isinstance(mod, OneScalePredictor):
+                t0 = time.perf_counter()
                 dec_feats, logits = _osp_logits(
                     ch, mod.if_upsample, mod.allow_single_ch, p, feats,
                     self._table(states[idx], idx))
+                if self.profile:
+                    jax.block_until_ready(logits)
+                self._prof('nn_logits', t0)
                 bins = self._code_scale(idx, logits, states, symbols_of,
                                         decode_scale, collected)
+                t0 = time.perf_counter()
                 if mod.if_upsample and idx != 1:
                     feats = _osp_upsample(
                         ch, mod.if_upsample, mod.allow_single_ch, p, dec_feats,
@@ -428,6 +460,9 @@ class Model:
                         states[idx - 1].c2p, states[idx - 1].octant)
                 else:
                     feats = dec_feats
+                if self.profile:
+                    jax.block_until_ready(feats)
+                self._prof('nn_upsample', t0)
             else:
                 k = mod.pred_steps
                 r = idx + k - 1
@@ -465,34 +500,56 @@ class Model:
         """Turn one scale's logits into coded symbols (encode) or decoded
         bins + expanded child scale (decode). Returns the bins at scale idx."""
         st = states[idx]
+        t0 = time.perf_counter()
         cdfs = _cdf_rows(logits)
+        if self.profile:
+            jax.block_until_ready(cdfs)
+        self._prof('cdf_rows', t0)
         if symbols_of is not None:   # encode path
             syms = symbols_of(idx)
-            starts, freqs = _enc_pairs(cdfs, syms)
             t0 = time.perf_counter()
-            collected.insert(0, (np.asarray(starts[:st.n]),
-                                 np.asarray(freqs[:st.n])))
-            self._prof('enc_pair_fetch', t0)
+            starts, freqs = _enc_pairs(cdfs, syms)
+            if self.profile:
+                jax.block_until_ready(freqs)
+            self._prof('enc_pairs', t0)
+            if self.cfg.device_coder:
+                collected.insert(0, (starts, freqs, st.count))
+            else:
+                t0 = time.perf_counter()
+                collected.insert(0, (np.asarray(starts[:st.n]),
+                                     np.asarray(freqs[:st.n])))
+                self._prof('enc_pair_fetch', t0)
             if st.bins is None:
                 st.bins = sp.symbols_to_bins(syms).astype(jnp.float32)
             return st.bins
         # decode path
-        _, dec = self._coders()
-        t0 = time.perf_counter()
-        cdf_host = fetch_chunked(cdfs, st.n)
-        self._prof('dec_cdf_fetch', t0)
-        t0 = time.perf_counter()
-        syms_host = np.empty((st.n,), np.uint16)
-        dec.decode(cdf_host, syms_host)
-        self._prof('dec_rans', t0)
         cap = st.codes.shape[0]
-        syms = jnp.asarray(sp_pad_codes(
-            syms_host.astype(np.int64), cap, fill=0)).astype(jnp.int32)
+        if getattr(self, '_use_lane_decode', self.cfg.device_coder):
+            t0 = time.perf_counter()
+            lane_states, lane_pos, lane_buf = self._lane
+            lane_states, lane_pos, syms = lane_decode_segment(
+                lane_states, lane_pos, lane_buf, cdfs, st.count)
+            self._lane = (lane_states, lane_pos, lane_buf)
+            if self.profile:
+                jax.block_until_ready(syms)
+            self._prof('lane_decode', t0)
+            child_n = cap  # host never needs the exact count mid-decode
+        else:
+            _, dec = self._coders()
+            t0 = time.perf_counter()
+            cdf_host = fetch_chunked(cdfs, st.n)
+            self._prof('dec_cdf_fetch', t0)
+            t0 = time.perf_counter()
+            syms_host = np.empty((st.n,), np.uint16)
+            dec.decode(cdf_host, syms_host)
+            self._prof('dec_rans', t0)
+            syms = jnp.asarray(sp_pad_codes(
+                syms_host.astype(np.int64), cap, fill=0)).astype(jnp.int32)
+            child_n = int(np.unpackbits(
+                (syms_host.astype(np.uint16) + 1).view(np.uint8)).sum())
         bins_f, child_codes, child_count, p_of_c, oct_of_c = \
             _expand_from_symbols(st.codes, st.count, syms, self.bits, cap)
         st.bins = bins_f
-        child_n = int(np.unpackbits(
-            (syms_host.astype(np.uint16) + 1).view(np.uint8)).sum())
         child = _ScaleState(child_codes, child_count, child_n)
         child.c2p, child.octant = p_of_c, oct_of_c
         states[idx - 1] = child
@@ -501,15 +558,26 @@ class Model:
     def decompress(self, params: Dict, data: bytes) -> np.ndarray:
         _, dec = self._coders()
         with io.BytesIO(data) as bs:
+            fmt = bs.read(1)[0]
             offset = np.array([int.from_bytes(bs.read(2), 'little')
                                for _ in range(3)], np.int32)
             bottom_n = int.from_bytes(bs.read(2), 'little')
             org_n = int.from_bytes(bs.read(4), 'little')
+            if fmt == 1:
+                lane_len = int.from_bytes(bs.read(4), 'little')
+                lane_blob = bs.read(lane_len)
+            else:
+                lane_blob = b''
             stream = bs.read()
         dec.flush(stream)
 
         top = self.max_down - self.cfg.skip_top_scales_num
         cap = _bucket(org_n)
+        self._use_lane_decode = fmt == 1
+        if fmt == 1:
+            ls, lp, lb, _ = lane_bytes_to_state(
+                lane_blob, self.cfg.coder_lanes, self._lane_byte_capacity(cap))
+            self._lane = (ls, lp, lb)
         coords = self._decode_bottom_coords(dec, bottom_n * 3).reshape(-1, 3)
         codes_np = np.sort(np_morton_encode(coords.astype(np.int64)))
         states = {top: _ScaleState(jnp.asarray(sp_pad_codes(codes_np, cap)),
@@ -518,7 +586,7 @@ class Model:
                          decode_scale=True)
         final = states[0]
         mask = (jnp.int64(1) << (3 * self.bits)) - 1
-        xyz = np.asarray(morton_decode(final.codes[:final.n] & mask))
+        xyz = np.asarray(morton_decode(final.codes[:org_n] & mask))
         return xyz + offset[None]
 
 

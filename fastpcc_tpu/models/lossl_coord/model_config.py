@@ -19,6 +19,9 @@ class Config(SimpleConfig):
 
     skip_top_scales_num: int = 0    # test phase rate laddering
     compute_dtype: str = 'bfloat16'
+    device_coder: bool = True       # lane-interleaved rANS on device (TPU);
+                                    # False = reference-style host coder
+    coder_lanes: int = 256
 
     cal_avs_pc_evalue: bool = False
     quantize_param: bool = False

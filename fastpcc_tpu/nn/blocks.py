@@ -25,6 +25,18 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
+def torch_bias_init(fan_in: int):
+    """torch Conv/Linear default: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    Nonzero bias matters: with a degenerate all-zero input (e.g. an untrained
+    bottleneck rounding to 0) a zero-bias network is identically zero and
+    downstream argmax/pruning logic sees all-ties."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class SparseConv3x3(nn.Module):
     """3^3 stride-1 sparse convolution over a precomputed neighbor table."""
     features: int
@@ -36,7 +48,7 @@ class SparseConv3x3(nn.Module):
         # He-uniform over fan_in = 27 * cin, matching torch Conv3d init scale.
         w = self.param('kernel', nn.initializers.variance_scaling(
             1 / 3, 'fan_in', 'uniform'), (27, cin, self.features), jnp.float32)
-        b = self.param('bias', nn.initializers.zeros, (self.features,),
+        b = self.param('bias', torch_bias_init(27 * cin), (self.features,),
                        jnp.float32) if self.use_bias else None
         return sparse_conv_apply(
             feats, table, w.astype(feats.dtype),
@@ -73,8 +85,8 @@ class StridedOctantConv(nn.Module):
             1 / 3, 'fan_in', 'uniform'), (k3, cin, self.features), jnp.float32)
         out = jnp.einsum('mkc,kcf->mf', dense, w.astype(dense.dtype))
         if self.use_bias:
-            b = self.param('bias', nn.initializers.zeros, (self.features,),
-                           jnp.float32)
+            b = self.param('bias', torch_bias_init(k3 * cin),
+                           (self.features,), jnp.float32)
             out = out + b.astype(dense.dtype)
         return out
 
@@ -94,7 +106,7 @@ class OctantTransposeConv(nn.Module):
             1 / 3, 'fan_in', 'uniform'), (8, cin, self.features), jnp.float32)
         out = jnp.einsum('mc,kcf->mkf', feats, w.astype(feats.dtype))
         if self.use_bias:
-            b = self.param('bias', nn.initializers.zeros, (self.features,),
+            b = self.param('bias', torch_bias_init(cin), (self.features,),
                            jnp.float32)
             out = out + b.astype(feats.dtype)
         return out

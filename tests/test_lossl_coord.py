@@ -28,6 +28,7 @@ def _small_cfg(**kw):
     cfg.max_stride_wo_recurrent = 16
     cfg.fea_stride = 4
     cfg.coord_bits = 8
+    cfg.coder_lanes = 8
     for k, v in kw.items():
         setattr(cfg, k, v)
     cfg.check()
@@ -39,6 +40,8 @@ def _small_cfg(**kw):
     dict(fea_stride=16, max_stride_wo_recurrent=32,
          max_stride=128),                            # MS(4)+MS(3)+MS(2) chains
     dict(fea_stride=2),                              # pure OSP ladder
+    dict(device_coder=False),                        # reference-style host coder
+    dict(fea_stride=2, feature_propagation=False),   # wo_fea_prop ablation
 ])
 def test_roundtrip_lossless(cfg_kw):
     cfg = _small_cfg(**cfg_kw)
