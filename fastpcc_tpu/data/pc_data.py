@@ -49,7 +49,7 @@ def pc_batch_to_codes(xyz_list: List[np.ndarray], bits: int) -> PCData:
     codes = np.concatenate(codes_list)
     # per-sample blocks are internally sorted and batch-major -> already sorted
     cap = _bucket(len(codes))
-    padded = np.full((cap,), np.iinfo(np.int64).max, np.int64)
+    padded = np.full((cap,), (1 << 62), np.int64)
     padded[:len(codes)] = codes
     return PCData(codes=padded, count=len(codes),
                   points_num=np.asarray(points_num, np.float32),

@@ -597,7 +597,7 @@ def _ancestor_dense(codes, count, bins, anc_codes, bits, levels, dtype):
 
 
 def sp_pad_codes(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
-    out = np.full((cap,), np.iinfo(np.int64).max if fill is None else fill,
+    out = np.full((cap,), (1 << 62) if fill is None else fill,
                   dtype=np.int64)
     out[:len(arr)] = arr
     return out

@@ -48,7 +48,7 @@ def _bce(logits, targets):
 
 
 def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
-    out = np.full((cap,), np.iinfo(np.int64).max if fill is None else fill,
+    out = np.full((cap,), (1 << 62) if fill is None else fill,
                   np.int64)
     out[:len(arr)] = arr
     return out
@@ -315,7 +315,7 @@ class Model:
 
         y_int, bottom_codes_np, targets = self._jit_encode(
             {'params': params}, codes, count, self.bits, self.compute_dtype)
-        bottom_n = int((bottom_codes_np != np.iinfo(np.int64).max).sum())
+        bottom_n = int((bottom_codes_np != (1 << 62)).sum())
         y_host = np.asarray(y_int)[:bottom_n]
         em_streams = compress_with_coder(em_coder, y_host[None])
         bottom_coords = np.asarray(morton_decode(

@@ -29,7 +29,13 @@ from flax import struct
 
 from .morton import morton_decode, morton_encode
 
-INVALID_CODE = jnp.int64(0x7FFFFFFFFFFFFFFF)
+# Padding sentinel: sorts after every valid code (codes use at most 60+2
+# bits: 3*bits Morton + batch). A plain Python int and a single-bit value on
+# purpose — embedding int64 scalars like 2^63-1 or ~((1<<48)-1) as program
+# constants trips a pathological slow mode in this TPU runtime (every
+# subsequent dispatch in the process degrades to ~2s; bisected empirically),
+# while single-bit literals and in-trace-computed masks are safe.
+INVALID_CODE = 1 << 62
 
 
 class VoxelGrid(struct.PyTreeNode):

@@ -97,7 +97,7 @@ def test_keep_mask_threshold():
     rng = np.random.default_rng(3)
     codes = np.sort(rng.choice(4096, 300, replace=False)).astype(np.int64)
     cap = 512
-    padded = np.full((cap,), np.iinfo(np.int64).max, np.int64)
+    padded = np.full((cap,), (1 << 62), np.int64)
     padded[:300] = codes
     logits = jnp.asarray(rng.normal(size=(cap,)).astype(np.float32))
     keep = adaptive_keep_mask(jnp.asarray(padded), jnp.int32(300), logits,
