@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import sparse as sp
-from ...ops.morton import morton_decode, np_morton_encode
+from ...ops.morton import masked_decode, np_morton_encode
 from ...ops.device_rans import (init_lane_state, lane_encode_segment,
                                 lane_decode_segment, lane_flush_to_bytes,
                                 lane_bytes_to_state)
@@ -397,8 +397,7 @@ class Model:
                 enc.encode_raw(starts, freqs)
             lane_blob = b''
         bottom_coords = np.asarray(
-            morton_decode(states[top].codes[:states[top].n]
-                          & ((jnp.int64(1) << (3 * self.bits)) - 1)))
+            masked_decode(states[top].codes, self.bits)[:states[top].n])
         self._encode_bottom_coords(enc, bottom_coords)
 
         with io.BytesIO() as bs:
@@ -585,8 +584,7 @@ class Model:
         self._run_scales(params, states, top, symbols_of=None,
                          decode_scale=True)
         final = states[0]
-        mask = (jnp.int64(1) << (3 * self.bits)) - 1
-        xyz = np.asarray(morton_decode(final.codes[:org_n] & mask))
+        xyz = np.asarray(masked_decode(final.codes, self.bits)[:org_n])
         return xyz + offset[None]
 
 

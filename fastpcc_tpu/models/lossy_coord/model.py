@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import sparse as sp
-from ...ops.morton import morton_decode, np_morton_encode
+from ...ops.morton import masked_decode, np_morton_encode
 from ...runtime import RansEncoder, RansDecoder
 from ...entropy_models.batched import (ContinuousBatchedEntropyModel,
                                        build_coder, compress_with_coder,
@@ -318,8 +318,8 @@ class Model:
         bottom_n = int((bottom_codes_np != (1 << 62)).sum())
         y_host = np.asarray(y_int)[:bottom_n]
         em_streams = compress_with_coder(em_coder, y_host[None])
-        bottom_coords = np.asarray(morton_decode(
-            jnp.asarray(bottom_codes_np[:bottom_n])))
+        bottom_coords = np.asarray(
+            masked_decode(bottom_codes_np, self.bits)[:bottom_n])
         coord_stream = self._encode_bottom_coords(enc, bottom_coords)
 
         scaler = self.cfg.adaptive_pruning_num_scaler
@@ -369,7 +369,7 @@ class Model:
                 self.cfg.adaptive_pruning)
             parent_codes, parent_count, feats = out
         final_count = int(parent_count)
-        xyz = np.asarray(morton_decode(parent_codes[:final_count]))
+        xyz = np.asarray(masked_decode(parent_codes, self.bits)[:final_count])
         return xyz + offset[None]
 
 

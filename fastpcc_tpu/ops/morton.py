@@ -47,17 +47,31 @@ def morton_encode_xyz(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     return (_spread3(x) << 2) | (_spread3(y) << 1) | _spread3(z)
 
 
+# NOTE: these are jitted at definition on purpose. Executed eagerly, each
+# magic-bits step becomes its own program embedding a large int64 literal,
+# which trips this TPU runtime's pathological slow mode (all subsequent
+# dispatches in the process degrade to ~2s; found by bisection). In-trace the
+# same constants are harmless.
+@jax.jit
 def morton_encode(xyz: jax.Array) -> jax.Array:
     """xyz: [..., 3] int array -> [...] int64 codes."""
     return morton_encode_xyz(xyz[..., 0], xyz[..., 1], xyz[..., 2])
 
 
+@jax.jit
 def morton_decode(code: jax.Array) -> jax.Array:
     """[...] int64 codes -> [..., 3] int32 coords."""
     x = _compact3(code >> 2)
     y = _compact3(code >> 1)
     z = _compact3(code)
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=('bits',))
+def masked_decode(codes: jax.Array, bits: int) -> jax.Array:
+    """Strip the batch field and decode: [..., 3] coords."""
+    mask = (jnp.int64(1) << (3 * bits)) - 1
+    return morton_decode(codes & mask)
 
 
 @functools.partial(jax.jit, static_argnames=('bits',))
