@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from ...ops import sparse as sp
 from ...ops.morton import masked_decode, np_morton_encode
-from ...ops.device_rans import (init_lane_state, lane_encode_segment,
-                                lane_decode_segment, lane_flush_to_bytes,
+from ...ops.device_rans import (init_lane_state, lane_encode_segment_impl,
+                                lane_decode_segment_impl, lane_flush_to_bytes,
                                 lane_bytes_to_state)
 from ...runtime import RansEncoder, RansDecoder
 from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
@@ -174,6 +174,11 @@ class Model:
         self._dec = None
         self.profile = False
         self.last_profile: Dict[str, float] = {}
+        # Whole-frame single-program paths: this environment's runtime
+        # degrades to ~2s per *executed program* after the first host
+        # transfer, so encode and decode each trace into ONE program.
+        self._mega_encode = jax.jit(self._traced_encode)
+        self._mega_decode = jax.jit(self._traced_decode)
         # side-info CDFs for bottom-coordinate coding
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
@@ -355,6 +360,53 @@ class Model:
         codes = np.unique(np_morton_encode(shifted))
         return offset.astype(np.int32), codes
 
+    # ------------------------------------------------ single-program paths
+
+    def _traced_encode(self, params, codes, count):
+        """Whole encode as one traceable function: pyramid, all per-scale
+        NNs + CDFs + pair gathers, and the full lane-rANS encode."""
+        prof, self.profile = self.profile, False
+        try:
+            top = self.max_down - self.cfg.skip_top_scales_num
+            cap = codes.shape[0]
+            pyramid = _build_pyramid(codes, count, self.bits, top)
+            states: Dict[int, _ScaleState] = {
+                0: _ScaleState(codes, count, None)}
+            for s in range(1, top + 1):
+                pc, pcnt, bins, c2p, octant, _ = pyramid[s - 1]
+                states[s] = _ScaleState(pc, pcnt, None, bins)
+                states[s - 1].c2p = c2p
+                states[s - 1].octant = octant
+
+            def symbols_of(s):
+                return pyramid[s - 1][5]
+
+            collected = self._run_scales(params, states, top, symbols_of)
+            lane = init_lane_state(self.cfg.coder_lanes,
+                                   self._lane_byte_capacity(cap))
+            for starts, freqs, cnt in collected:
+                lane = lane_encode_segment_impl(*lane, starts, freqs, cnt)
+            bottom_coords = masked_decode(states[top].codes, self.bits)
+            return (*lane, bottom_coords, states[top].count)
+        finally:
+            self.profile = prof
+
+    def _traced_decode(self, params, bottom_codes, bottom_count, lane_states,
+                       lane_pos, lane_buf):
+        """Whole decode as one traceable function: all scales' NNs, lane-rANS
+        symbol decoding, child expansion, and the final coordinate decode."""
+        prof, self.profile = self.profile, False
+        try:
+            top = self.max_down - self.cfg.skip_top_scales_num
+            self._lane = (lane_states, lane_pos, lane_buf)
+            self._use_lane_decode = True
+            states = {top: _ScaleState(bottom_codes, bottom_count, None)}
+            self._run_scales(params, states, top, symbols_of=None,
+                             decode_scale=True)
+            return masked_decode(states[0].codes, self.bits)
+        finally:
+            self.profile = prof
+
     def compress(self, params: Dict, xyz: np.ndarray) -> bytes:
         """xyz: [N, 3] non-negative ints (unique rows)."""
         enc, _ = self._coders()
@@ -362,6 +414,32 @@ class Model:
         n = len(codes_np)
         cap = _bucket(n)
         top = self.max_down - self.cfg.skip_top_scales_num
+        if self.cfg.device_coder:
+            codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+            t0 = time.perf_counter()
+            out = self._mega_encode(params, codes, jnp.int32(n))
+            lane_states, lane_pos, lane_buf, bottom_coords_dev, bcount = out
+            if self.profile:
+                jax.block_until_ready(lane_buf)
+            self._prof('mega_encode', t0)
+            t0 = time.perf_counter()
+            lane_blob = lane_flush_to_bytes(lane_states, lane_pos, lane_buf)
+            bottom_n = int(bcount)
+            bottom_coords = np.asarray(bottom_coords_dev)[:bottom_n]
+            self._prof('enc_fetch', t0)
+            t0 = time.perf_counter()
+            self._encode_bottom_coords(enc, bottom_coords)
+            with io.BytesIO() as bs:
+                bs.write(bytes([1]))
+                for v in offset.tolist():
+                    bs.write(int(v).to_bytes(2, 'little'))
+                bs.write(bottom_n.to_bytes(2, 'little'))
+                bs.write(n.to_bytes(4, 'little'))
+                bs.write(len(lane_blob).to_bytes(4, 'little'))
+                bs.write(lane_blob)
+                bs.write(enc.flush())
+                self._prof('enc_host_coder', t0)
+                return bs.getvalue()
         t0 = time.perf_counter()
         codes = jnp.asarray(sp_pad_codes(codes_np, cap))
         pyramid = _build_pyramid(codes, jnp.int32(n), self.bits, top)
@@ -382,33 +460,18 @@ class Model:
             return pyramid[s - 1][5]
 
         collected = self._run_scales(params, states, top, symbols_of)
-
-        if self.cfg.device_coder:
-            # lane coder: encode segments finest-first (LIFO), all on device
-            t0 = time.perf_counter()
-            lane = init_lane_state(self.cfg.coder_lanes,
-                                   self._lane_byte_capacity(cap))
-            for starts, freqs, count in collected:
-                lane = lane_encode_segment(*lane, starts, freqs, count)
-            lane_blob = lane_flush_to_bytes(*lane)
-            self._prof('lane_encode', t0)
-        else:
-            for starts, freqs in collected:
-                enc.encode_raw(starts, freqs)
-            lane_blob = b''
+        for starts, freqs in collected:
+            enc.encode_raw(starts, freqs)
         bottom_coords = np.asarray(
             masked_decode(states[top].codes, self.bits)[:states[top].n])
         self._encode_bottom_coords(enc, bottom_coords)
 
         with io.BytesIO() as bs:
-            bs.write(bytes([1 if self.cfg.device_coder else 0]))
+            bs.write(bytes([0]))
             for v in offset.tolist():
                 bs.write(int(v).to_bytes(2, 'little'))
             bs.write(states[top].n.to_bytes(2, 'little'))
             bs.write(n.to_bytes(4, 'little'))
-            if lane_blob:
-                bs.write(len(lane_blob).to_bytes(4, 'little'))
-                bs.write(lane_blob)
             bs.write(enc.flush())
             return bs.getvalue()
 
@@ -526,7 +589,7 @@ class Model:
         if getattr(self, '_use_lane_decode', self.cfg.device_coder):
             t0 = time.perf_counter()
             lane_states, lane_pos, lane_buf = self._lane
-            lane_states, lane_pos, syms = lane_decode_segment(
+            lane_states, lane_pos, syms = lane_decode_segment_impl(
                 lane_states, lane_pos, lane_buf, cdfs, st.count)
             self._lane = (lane_states, lane_pos, lane_buf)
             if self.profile:
@@ -573,12 +636,20 @@ class Model:
         top = self.max_down - self.cfg.skip_top_scales_num
         cap = _bucket(org_n)
         self._use_lane_decode = fmt == 1
+        t0 = time.perf_counter()
+        coords = self._decode_bottom_coords(dec, bottom_n * 3).reshape(-1, 3)
+        codes_np = np.sort(np_morton_encode(coords.astype(np.int64)))
+        self._prof('dec_host_coder', t0)
         if fmt == 1:
             ls, lp, lb, _ = lane_bytes_to_state(
                 lane_blob, self.cfg.coder_lanes, self._lane_byte_capacity(cap))
-            self._lane = (ls, lp, lb)
-        coords = self._decode_bottom_coords(dec, bottom_n * 3).reshape(-1, 3)
-        codes_np = np.sort(np_morton_encode(coords.astype(np.int64)))
+            t0 = time.perf_counter()
+            coords_dev = self._mega_decode(
+                params, jnp.asarray(sp_pad_codes(codes_np, cap)),
+                jnp.int32(bottom_n), ls, lp, lb)
+            xyz = np.asarray(coords_dev)[:org_n]
+            self._prof('mega_decode', t0)
+            return xyz + offset[None]
         states = {top: _ScaleState(jnp.asarray(sp_pad_codes(codes_np, cap)),
                                    jnp.int32(bottom_n), bottom_n)}
         self._run_scales(params, states, top, symbols_of=None,

@@ -38,10 +38,10 @@ def init_lane_state(lanes: int = DEFAULT_LANES, byte_capacity: int = 1 << 14):
             jnp.zeros((lanes, byte_capacity), jnp.uint8))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def lane_encode_segment(states, pos, buf, starts, freqs_m1, count):
+def lane_encode_segment_impl(states, pos, buf, starts, freqs_m1, count):
     """Encode one segment LIFO. starts/freqs_m1: [cap] uint16 per-symbol
-    (start, freq-1) pairs; count: valid symbols. cap % lanes == 0."""
+    (start, freq-1) pairs; count: valid symbols. cap % lanes == 0.
+    Raw traceable body — call this inside larger jitted programs."""
     lanes = states.shape[0]
     cap = starts.shape[0]
     capb = buf.shape[1]
@@ -72,10 +72,9 @@ def lane_encode_segment(states, pos, buf, starts, freqs_m1, count):
     return jax.lax.fori_loop(0, rows, body, (states, pos, buf))
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def lane_decode_segment(states, pos, buf, cdfs, count):
+def lane_decode_segment_impl(states, pos, buf, cdfs, count):
     """Decode one segment. cdfs: [cap, S] uint16 rows; returns
-    (states, pos, symbols [cap] int32)."""
+    (states, pos, symbols [cap] int32). Raw traceable body."""
     lanes = states.shape[0]
     cap, s = cdfs.shape
     capb = buf.shape[1]
@@ -114,15 +113,21 @@ def lane_decode_segment(states, pos, buf, cdfs, count):
     return jax.lax.fori_loop(0, rows, body, (states, pos, syms_out))
 
 
+lane_encode_segment = jax.jit(lane_encode_segment_impl, donate_argnums=(0, 1, 2))
+lane_decode_segment = jax.jit(lane_decode_segment_impl, donate_argnums=(0, 1))
+
+
 def lane_flush_to_bytes(states, pos, buf) -> bytes:
     """Assemble the bitstream on the host: per-lane, reverse the emitted
     bytes (encoder appends; decoder reads forward) and prepend the 4
     final-state bytes via the same reversal."""
     states = np.asarray(states)
     pos = np.asarray(pos)
+    # fetch whole: a device-side trim would cost one more executed program,
+    # which is ~2s in this runtime's degraded post-transfer mode
+    buf = np.asarray(buf)
     max_pos = int(pos.max(initial=0))
     assert max_pos + 4 <= buf.shape[1], 'lane byte buffer overflow'
-    buf = np.asarray(buf[:, :max(max_pos, 1)])   # trim the device transfer
     lanes = states.shape[0]
     streams = []
     for j in range(lanes):
