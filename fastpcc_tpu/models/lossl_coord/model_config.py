@@ -21,7 +21,7 @@ class Config(SimpleConfig):
     compute_dtype: str = 'bfloat16'
     device_coder: bool = True       # lane-interleaved rANS on device (TPU);
                                     # False = reference-style host coder
-    coder_lanes: int = 256
+    coder_lanes: int = 1024
 
     cal_avs_pc_evalue: bool = False
     quantize_param: bool = False
