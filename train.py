@@ -136,10 +136,14 @@ def main(argv: List[str]):
     if cfg.train.ema:
         ema_params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
-    n_dev = cfg.train.data_parallel or jax.local_device_count()
+    if cfg.train.data_parallel:
+        n_dev = cfg.train.data_parallel
+        assert cfg.train.batch_size % n_dev == 0, \
+            f'batch_size {cfg.train.batch_size} % devices {n_dev} != 0'
+    else:
+        # largest device count that divides the global batch
+        n_dev = math.gcd(jax.local_device_count(), cfg.train.batch_size)
     mesh = make_mesh(n_dev)
-    assert cfg.train.batch_size % n_dev == 0, \
-        f'batch_size {cfg.train.batch_size} % devices {n_dev} != 0'
     local_bs = cfg.train.batch_size // n_dev
     step_fn = make_dp_train_step(model.train_loss, tx, mesh)
     logger.info(f'data parallel over {n_dev} device(s), '
