@@ -236,9 +236,11 @@ class Model:
         return name, self.blocks[name]
 
     def train_loss(self, params: Dict, codes: jax.Array, count: jax.Array,
-                   points_num: jax.Array) -> Tuple[jax.Array, Dict]:
+                   points_num: jax.Array, step=0) -> Tuple[jax.Array, Dict]:
         """Pure loss function (jit/grad-able). codes: [cap] sorted packed
-        codes; points_num: [B] per-sample point counts."""
+        codes; points_num: [B] per-sample point counts; step unused (kept for
+        the shared harness signature)."""
+        del step
         cap = codes.shape[0]
         bits = self.bits
         batch_size = points_num.shape[0]

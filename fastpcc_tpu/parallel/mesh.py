@@ -32,18 +32,35 @@ def shard_batch(mesh: Mesh, *arrays):
 
 
 def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                       mesh: Mesh) -> Callable:
-    """Build a jitted DP train step.
+                       mesh: Mesh, grad_acc_steps: int = 1) -> Callable:
+    """Build a jitted DP train step with optional gradient accumulation.
 
-    loss_fn(params, codes, count, points_num) -> (loss, aux_dict).
-    The step takes per-device-stacked batch arrays with leading dim =
-    mesh size: codes [D, cap], counts [D], points_num [D, B_local].
+    loss_fn(params, codes, count, points_num, step) -> (loss, aux_dict).
+    The step takes per-device, per-microbatch stacked arrays:
+    codes [D, A, cap], counts [D, A], points_num [D, A, B_local], and a
+    scalar training step. Gradients are averaged over the A microbatches
+    (lax.scan, the analog of the reference's no_sync accumulation,
+    reference: train.py:382-404) and pmean'd over the 'dp' axis.
     """
 
-    def local_step(params, opt_state, codes, counts, points_num):
-        # inside shard_map: leading dim is this device's shard (size 1)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, codes[0], counts[0], points_num[0])
+    def local_step(params, opt_state, codes, counts, points_num, step):
+        codes, counts, points_num = codes[0], counts[0], points_num[0]
+
+        def micro(carry, xs):
+            g_acc, l_acc = carry
+            c, n, pn = xs
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, c, n, pn, step)
+            return (jax.tree.map(jnp.add, g_acc, g), l_acc + loss), aux
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum), auxs = jax.lax.scan(
+            micro, (g0, 0.0), (codes, counts, points_num))
+        inv = 1.0 / grad_acc_steps
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        loss = loss_sum * inv
+        aux = jax.tree.map(lambda x: x[-1], auxs)
+
         grads = jax.lax.pmean(grads, 'dp')
         loss = jax.lax.pmean(loss, 'dp')
         aux = jax.tree.map(lambda x: jax.lax.pmean(x, 'dp'), aux)
@@ -53,7 +70,7 @@ def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformatio
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P('dp'), P('dp'), P('dp')),
+        in_specs=(P(), P(), P('dp'), P('dp'), P('dp'), P()),
         out_specs=(P(), P(), P(), P()),
         check_rep=False)
     return jax.jit(sharded, donate_argnums=(0, 1))

@@ -136,18 +136,20 @@ def main(argv: List[str]):
     if cfg.train.ema:
         ema_params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
+    acc = max(cfg.train.grad_acc_steps, 1)
     if cfg.train.data_parallel:
         n_dev = cfg.train.data_parallel
-        assert cfg.train.batch_size % n_dev == 0, \
-            f'batch_size {cfg.train.batch_size} % devices {n_dev} != 0'
+        assert cfg.train.batch_size % (n_dev * acc) == 0, \
+            f'batch_size {cfg.train.batch_size} % (devices*acc) != 0'
     else:
-        # largest device count that divides the global batch
-        n_dev = math.gcd(jax.local_device_count(), cfg.train.batch_size)
+        # largest device count that divides the per-accumulation batch
+        n_dev = math.gcd(jax.local_device_count(),
+                         max(cfg.train.batch_size // acc, 1))
     mesh = make_mesh(n_dev)
-    local_bs = cfg.train.batch_size // n_dev
-    step_fn = make_dp_train_step(model.train_loss, tx, mesh)
+    local_bs = cfg.train.batch_size // (n_dev * acc)
+    step_fn = make_dp_train_step(model.train_loss, tx, mesh, acc)
     logger.info(f'data parallel over {n_dev} device(s), '
-                f'{local_bs} sample(s)/device')
+                f'{acc} microbatch(es) x {local_bs} sample(s)/device')
 
     bits = model.bits
     rng = np.random.default_rng(0)
@@ -160,27 +162,29 @@ def main(argv: List[str]):
         for it in range(steps_per_epoch):
             t0 = time.perf_counter()
             idxs = order[it * cfg.train.batch_size:(it + 1) * cfg.train.batch_size]
-            # per-device packing: each device gets local_bs samples
-            dev_codes, dev_counts, dev_pn = [], [], []
+            # [device, microbatch] packing
+            pcs = [[None] * acc for _ in range(n_dev)]
             cap = 0
-            pcs = []
             for d in range(n_dev):
-                samples = [dataset[int(i)] for i in
-                           idxs[d * local_bs:(d + 1) * local_bs]]
-                pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
-                pcs.append(pc)
-                cap = max(cap, len(pc.codes))
-            for pc in pcs:
-                padded = np.full((cap,), np.iinfo(np.int64).max, np.int64)
-                padded[:len(pc.codes)] = pc.codes
-                dev_codes.append(padded)
-                dev_counts.append(pc.count)
-                dev_pn.append(pc.points_num)
-            codes, counts, pn = shard_batch(
-                mesh, np.stack(dev_codes), np.asarray(dev_counts, np.int32),
-                np.stack(dev_pn))
-            params, opt_state, loss, aux = step_fn(params, opt_state, codes,
-                                                   counts, pn)
+                for a in range(acc):
+                    lo = (d * acc + a) * local_bs
+                    samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
+                    pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
+                    pcs[d][a] = pc
+                    cap = max(cap, len(pc.codes))
+            dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
+            dev_counts = np.zeros((n_dev, acc), np.int32)
+            dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
+            for d in range(n_dev):
+                for a in range(acc):
+                    pc = pcs[d][a]
+                    dev_codes[d, a, :len(pc.codes)] = pc.codes
+                    dev_counts[d, a] = pc.count
+                    dev_pn[d, a] = pc.points_num
+            codes, counts, pn = shard_batch(mesh, dev_codes, dev_counts,
+                                            dev_pn)
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, codes, counts, pn, np.int32(global_step))
             global_step += 1
             if cfg.train.ema:
                 d = ema_decay(global_step, cfg.train.ema_decay,
