@@ -31,6 +31,7 @@ from ...runtime import RansEncoder, RansDecoder
 from ...entropy_models.batched import (ContinuousBatchedEntropyModel,
                                        build_coder, compress_with_coder,
                                        decompress_with_coder)
+from ...entropy_models.hyperprior import ScaleHyperprior, HyperpriorCoder
 from ...entropy_models.utils import concat_byte_streams, split_byte_streams
 from .network import EncoderStage, DecoderStage, ConvBlock3
 from .model_config import Config
@@ -54,6 +55,26 @@ def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
     return out
 
 
+class HyperMLP(nn.Module):
+    """Pointwise hyper-encoder y -> z."""
+    out: int
+
+    @nn.compact
+    def __call__(self, y):
+        h = nn.relu(nn.Dense(32, param_dtype=jnp.float32)(jnp.abs(y)))
+        return nn.Dense(self.out, param_dtype=jnp.float32)(h)
+
+
+class HyperScaleMLP(nn.Module):
+    """Pointwise hyper-decoder z -> per-element scale indexes (>0)."""
+    out: int
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.relu(nn.Dense(32, param_dtype=jnp.float32)(z))
+        return nn.softplus(nn.Dense(self.out, param_dtype=jnp.float32)(h)) * 8.0
+
+
 class LossyNet(nn.Module):
     """All learnable pieces; params live in one tree."""
     cfg: Config
@@ -69,8 +90,18 @@ class LossyNet(nn.Module):
                          c.basic_block_type, c.basic_block_num,
                          last_act='relu' if i < NUM_SCALES - 1 else None)
             for i in range(NUM_SCALES)]
-        self.em = ContinuousBatchedEntropyModel(
-            c.compressed_channels, tail_range=c.em_tail_range)
+        if c.em_mode == 'hyperprior':
+            # pointwise hyper codec on the bottleneck features (the reference
+            # uses sparse-conv hyper nets, model.py:126-192; pointwise is the
+            # minimal faithful variant on our code-sparse representation)
+            self.em = ScaleHyperprior(
+                hyper_encoder=HyperMLP(c.hyper_channels),
+                hyper_decoder=HyperScaleMLP(c.compressed_channels),
+                hyper_channels=c.hyper_channels,
+                z_tail_range=c.em_tail_range, y_tail_range=c.em_tail_range)
+        else:
+            self.em = ContinuousBatchedEntropyModel(
+                c.compressed_channels, tail_range=c.em_tail_range)
         dec_ch = c.decoder_channels          # (64, 16, 4)
         self.dec_stages = [
             DecoderStage(dec_ch[i], c.basic_block_type, c.basic_block_num)
@@ -88,8 +119,22 @@ class LossyNet(nn.Module):
         return x
 
     def em_train(self, y, rng, mask):
+        if self.cfg.em_mode == 'hyperprior':
+            return self.em(y, rng, mask)
         y_tilde = self.em.perturb(y, rng)
         return y_tilde, self.em.bits(y_tilde, mask)
+
+    def em_encode_path(self, y):
+        return self.em.encode_path(y)
+
+    def em_decode_path(self, z_int):
+        return self.em.decode_path(z_int)
+
+    def em_z_pmf(self, lower, upper):
+        return self.em.z_pmf(lower, upper)
+
+    def em_y_pmf(self):
+        return self.em.y_pmf()
 
     def em_pmf(self, lower, upper):
         return self.em.pmf_table(lower, upper)
@@ -258,11 +303,21 @@ class Model:
 
     def _coders(self, params):
         if self._em_coder is None:
-            def pmf_fn(lower, upper):
-                return self.net.apply({'params': params}, lower, upper,
-                                      method=LossyNet.em_pmf)
-            self._em_coder = build_coder(
-                pmf_fn, self.cfg.compressed_channels, self.cfg.em_tail_range)
+            if self.cfg.em_mode == 'hyperprior':
+                hp = ScaleHyperprior(
+                    hyper_encoder=HyperMLP(self.cfg.hyper_channels),
+                    hyper_decoder=HyperScaleMLP(self.cfg.compressed_channels),
+                    hyper_channels=self.cfg.hyper_channels,
+                    z_tail_range=self.cfg.em_tail_range,
+                    y_tail_range=self.cfg.em_tail_range)
+                self._em_coder = HyperpriorCoder(hp, {'params': params['em']})
+            else:
+                def pmf_fn(lower, upper):
+                    return self.net.apply({'params': params}, lower, upper,
+                                          method=LossyNet.em_pmf)
+                self._em_coder = build_coder(
+                    pmf_fn, self.cfg.compressed_channels,
+                    self.cfg.em_tail_range)
             self._rans_enc = RansEncoder(1 << 22)
             self._rans_dec = RansDecoder()
         return self._em_coder, self._rans_enc, self._rans_dec
@@ -313,11 +368,16 @@ class Model:
         codes = jnp.asarray(sp_pad(codes_np, cap))
         count = jnp.int32(n)
 
-        y_int, bottom_codes_np, targets = self._jit_encode(
+        y_float, bottom_codes_np, targets = self._jit_encode(
             {'params': params}, codes, count, self.bits, self.compute_dtype)
         bottom_n = int((bottom_codes_np != (1 << 62)).sum())
-        y_host = np.asarray(y_int)[:bottom_n]
-        em_streams = compress_with_coder(em_coder, y_host[None])
+        y_host = np.asarray(y_float)[:bottom_n]
+        if self.cfg.em_mode == 'hyperprior':
+            em_stream, _ = em_coder.compress(jnp.asarray(y_host))
+            em_streams = [em_stream]
+        else:
+            em_streams = compress_with_coder(
+                em_coder, np.round(y_host).astype(np.int32)[None])
         bottom_coords = np.asarray(
             masked_decode(bottom_codes_np, self.bits)[:bottom_n])
         coord_stream = self._encode_bottom_coords(enc, bottom_coords)
@@ -346,9 +406,14 @@ class Model:
                        for _ in range(NUM_SCALES)]
             em_stream, coord_stream = split_byte_streams(bs.read(), 2)
 
-        y_int = decompress_with_coder(
-            em_coder, [em_stream],
-            (bottom_n, self.cfg.compressed_channels))[0]
+        if self.cfg.em_mode == 'hyperprior':
+            y_int = em_coder.decompress(
+                em_stream, (bottom_n, self.cfg.hyper_channels),
+                (bottom_n, self.cfg.compressed_channels))
+        else:
+            y_int = decompress_with_coder(
+                em_coder, [em_stream],
+                (bottom_n, self.cfg.compressed_channels))[0]
         coords = self._decode_bottom_coords(
             dec, coord_stream, bottom_n * 3).reshape(-1, 3)
         bottom_codes = np.sort(np_morton_encode(coords.astype(np.int64)))
@@ -396,9 +461,8 @@ def _encode_impl(net, variables, codes, count, bits, dtype):
                 for s in range(NUM_SCALES)]
     y = net.apply(variables, feats0, tables, pyramids,
                   method=LossyNet.encode_bottom).astype(jnp.float32)
-    y_int = jnp.round(y).astype(jnp.int32)
     targets = jnp.stack([grids[s][1] for s in range(NUM_SCALES)])
-    return y_int, grids[NUM_SCALES][0], targets
+    return y, grids[NUM_SCALES][0], targets
 
 
 def _decode_stage_impl(net, variables, stage_i, feats, parent_codes,

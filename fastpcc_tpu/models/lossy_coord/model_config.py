@@ -23,5 +23,8 @@ class Config(SimpleConfig):
 
     coord_bits: int = 18
     compute_dtype: str = 'bfloat16'
+    em_mode: str = 'factorized'     # 'factorized' | 'hyperprior'
+                                    # (reference init_em modes, model.py:126-192)
+    hyper_channels: int = 8
     em_tail_range: int = 32
     cand_capacity_factor: int = 8   # candidate buffer = factor * parent cap

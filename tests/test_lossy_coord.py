@@ -106,3 +106,23 @@ def test_keep_mask_threshold():
     # target 100, plus local maxima that fall below threshold
     assert 100 <= kept <= 300
     assert not np.asarray(keep)[300:].any()
+
+
+def test_hyperprior_mode_roundtrip():
+    cfg = _cfg()
+    cfg.em_mode = 'hyperprior'
+    cfg.hyper_channels = 2
+    model = Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    xyz = _cloud(5)
+    # training pass produces finite loss through the hyperprior EM
+    import numpy as np
+    codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
+    cap = _bucket(len(codes))
+    loss, aux = model.train_loss(
+        params, jnp.asarray(sp_pad(codes, cap)), jnp.int32(len(codes)),
+        jnp.asarray([float(len(codes))], jnp.float32))
+    assert np.isfinite(float(loss))
+    blob = model.compress(params, xyz)
+    recon = model.decompress(params, blob)
+    assert 0.2 * len(xyz) <= len(recon) <= 3 * len(xyz)
