@@ -1,0 +1,125 @@
+"""Host-side data layer + metrics tests: PlyVoxel / ShapeNet loaders on
+synthesized files, evaluator JSON outputs, D1/D2 PSNR sanity, BD-rate."""
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from fastpcc_tpu.data.ply_io import write_ply, read_ply
+
+
+def test_plyvoxel_dataset(tmp_path):
+    from fastpcc_tpu.data.datasets.PlyVoxel import Dataset, Config
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        xyz = rng.integers(0, 512, (500, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, (500, 3)).astype(np.uint8)
+        write_ply(str(tmp_path / f'frame_{i}.ply'), xyz, rgb=rgb)
+    cfg = Config()
+    cfg.root = str(tmp_path)
+    cfg.resolution = 512
+    cfg.with_color = True
+    cfg.check()
+    ds = Dataset(cfg, is_training=False)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s['xyz'].dtype == np.int32
+    assert 'color' in s and len(s['color']) == len(s['xyz'])
+
+    # coord scaler + inv_transform round trip
+    cfg2 = Config()
+    cfg2.root = str(tmp_path)
+    cfg2.coord_scaler = 0.5
+    cfg2.check()
+    ds2 = Dataset(cfg2, is_training=False)
+    s2 = ds2[0]
+    assert s2['inv_transform'][3] == 2.0
+
+
+def test_shapenet_obj_sampling(tmp_path):
+    from fastpcc_tpu.data.datasets.ShapeNetCorev2.dataset import (
+        load_obj_mesh, sample_mesh_uniform)
+    obj = tmp_path / 'cube.obj'
+    obj.write_text(
+        'v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n'
+        'v 0 0 1\nv 1 0 1\nv 1 1 1\nv 0 1 1\n'
+        'f 1 2 3 4\nf 5 6 7 8\nf 1 2 6 5\n')
+    verts, faces = load_obj_mesh(str(obj))
+    assert verts.shape == (8, 3)
+    assert faces.shape == (6, 3)  # fan-triangulated quads
+    pts = sample_mesh_uniform(verts, faces, 1000, np.random.default_rng(0))
+    assert pts.shape == (1000, 3)
+    assert pts.min() >= -1e-9 and pts.max() <= 1 + 1e-9
+
+
+def test_shapenet_dataset_cache(tmp_path):
+    from fastpcc_tpu.data.datasets.ShapeNetCorev2 import Dataset, Config
+    model_dir = tmp_path / 'cat' / 'obj1' / 'models'
+    model_dir.mkdir(parents=True)
+    (model_dir / 'model_normalized.obj').write_text(
+        'v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n')
+    cfg = Config()
+    cfg.root = str(tmp_path)
+    cfg.mesh_sample_points_num = 2000
+    cfg.resolution = 64
+    cfg.check()
+    ds = Dataset(cfg, is_training=True)
+    assert len(ds) == 1
+    s = ds[0]
+    assert (s['xyz'] >= 0).all() and (s['xyz'] < 64).all()
+    # second load hits the npz cache
+    s2 = ds[0]
+    assert len(s2['xyz']) > 10
+
+
+def test_evaluator_outputs(tmp_path):
+    from fastpcc_tpu.metrics import PCCEvaluator
+    rng = np.random.default_rng(1)
+    ref = rng.integers(0, 256, (400, 3)).astype(np.float64)
+    ref_path = str(tmp_path / 'ref.ply')
+    write_ply(ref_path, ref.astype(np.float32))
+    pred = ref + rng.normal(0, 0.5, ref.shape)
+    ev = PCCEvaluator()
+    ev.log(pred=pred, org_points_num=400, compressed_bytes=b'x' * 100,
+           file_path=ref_path, resolution=256,
+           results_dir=str(tmp_path / 'out'),
+           extra_info_dict={'encode time': 0.1, 'decode time': 0.2})
+    mean = ev.show(str(tmp_path / 'out'))
+    assert mean['bpp'] == pytest.approx(100 * 8 / 400)
+    assert 'mseF,PSNR (p2point)' in mean and mean['mseF,PSNR (p2point)'] > 20
+    with open(tmp_path / 'out' / 'metric_dict.json') as f:
+        md = json.load(f)
+    assert ref_path in md
+    assert osp.isfile(tmp_path / 'out' / 'ref_recon.ply')
+
+
+def test_d1_psnr_perfect_and_noisy():
+    from fastpcc_tpu.metrics import compute_d1_d2_psnr
+    rng = np.random.default_rng(2)
+    ref = rng.integers(0, 1024, (500, 3)).astype(np.float64)
+    exact = compute_d1_d2_psnr(ref, ref, 1024, compute_d2=False)
+    assert exact['mseF,PSNR (p2point)'] == float('inf')
+    noisy = compute_d1_d2_psnr(ref + 1.0, ref, 1024, compute_d2=True)
+    assert 50 < noisy['mseF,PSNR (p2point)'] < 70
+    assert noisy['mseF,PSNR (p2plane)'] >= noisy['mseF,PSNR (p2point)'] - 1
+
+
+def test_bd_rate_sign():
+    from fastpcc_tpu.metrics import bd_rate, bd_psnr
+    rates = [0.1, 0.2, 0.4, 0.8]
+    psnrs = [60, 65, 70, 75]
+    better = [r * 0.8 for r in rates]   # 20% cheaper at same quality
+    assert bd_rate(rates, psnrs, better, psnrs) == pytest.approx(-20, abs=0.5)
+    assert bd_psnr(rates, psnrs, better, psnrs) > 0
+
+
+def test_precision_recall_and_yuv():
+    from fastpcc_tpu.metrics.misc import (precision_recall, rgb_to_yuv_bt709,
+                                          yuv_to_rgb_bt709)
+    pr = precision_recall(np.array([1, 1, 0, 0], bool),
+                          np.array([1, 0, 1, 0], bool))
+    assert pr['precision'] == 0.5 and pr['recall'] == 0.5
+    rgb = np.random.default_rng(3).integers(0, 256, (50, 3)).astype(np.float64)
+    back = yuv_to_rgb_bt709(rgb_to_yuv_bt709(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-6)
