@@ -26,8 +26,9 @@ import jax.numpy as jnp
 from ...ops import sparse as sp
 from ...ops.morton import masked_decode, np_morton_encode
 from ...ops.device_rans import (init_lane_state, lane_encode_segment_impl,
-                                lane_decode_segment_impl, lane_flush_to_bytes,
-                                lane_bytes_to_state)
+                                lane_decode_segment_impl,
+                                lane_decode_backward_impl,
+                                lane_flush_to_bytes, lane_bytes_to_state)
 from ...runtime import RansEncoder, RansDecoder
 from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
                       make_blocks)
@@ -409,6 +410,50 @@ class Model:
         finally:
             self.profile = prof
 
+    def _traced_roundtrip(self, params, codes, count):
+        """Encode then decode entirely on device: the decoder reads the
+        encoder's byte buffer backwards (LIFO) starting from the encoder's
+        final states — zero host involvement. Returns (decoded coords,
+        lossless flag, total stream bytes). Used for loopback verification
+        and for artifact-free throughput measurement (see PERFNOTES.md)."""
+        lane_states, lane_pos, lane_buf, bottom_coords, bcount = \
+            self._traced_encode(params, codes, count)
+        from ...ops.morton import morton_encode
+        bottom_codes = jnp.where(
+            jnp.arange(bottom_coords.shape[0]) < bcount,
+            morton_encode(bottom_coords.astype(jnp.int64)),
+            jnp.int64(1) << 62)
+        prof, self.profile = self.profile, False
+        try:
+            top = self.max_down - self.cfg.skip_top_scales_num
+            self._lane = (lane_states, lane_pos, lane_buf)
+            self._use_lane_decode = True
+            self._lane_backward = True
+            states = {top: _ScaleState(bottom_codes, bcount, None)}
+            self._run_scales(params, states, top, symbols_of=None,
+                             decode_scale=True)
+        finally:
+            self.profile = prof
+            self._lane_backward = False
+            self._use_lane_decode = self.cfg.device_coder
+        coords = masked_decode(states[0].codes, self.bits)
+        valid = jnp.arange(codes.shape[0]) < count
+        ok = jnp.all(jnp.where(valid, states[0].codes == codes, True))
+        stream_bytes = lane_pos.sum() + 6 * lane_pos.shape[0]
+        return coords, ok, stream_bytes
+
+    def device_roundtrip(self, params: Dict, xyz: np.ndarray):
+        """Host wrapper for the loopback path -> (recon xyz, lossless, bytes)."""
+        if not hasattr(self, '_mega_roundtrip'):
+            self._mega_roundtrip = jax.jit(self._traced_roundtrip)
+        offset, codes_np = self._prep_xyz(xyz)
+        cap = _bucket(len(codes_np))
+        codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+        coords, ok, nbytes = self._mega_roundtrip(
+            params, codes, jnp.int32(len(codes_np)))
+        return (np.asarray(coords)[:len(codes_np)] + offset[None],
+                bool(ok), int(nbytes))
+
     def compress(self, params: Dict, xyz: np.ndarray) -> bytes:
         """xyz: [N, 3] non-negative ints (unique rows)."""
         enc, _ = self._coders()
@@ -591,7 +636,10 @@ class Model:
         if getattr(self, '_use_lane_decode', self.cfg.device_coder):
             t0 = time.perf_counter()
             lane_states, lane_pos, lane_buf = self._lane
-            lane_states, lane_pos, syms = lane_decode_segment_impl(
+            decode_impl = lane_decode_backward_impl \
+                if getattr(self, '_lane_backward', False) \
+                else lane_decode_segment_impl
+            lane_states, lane_pos, syms = decode_impl(
                 lane_states, lane_pos, lane_buf, cdfs, st.count)
             self._lane = (lane_states, lane_pos, lane_buf)
             if self.profile:

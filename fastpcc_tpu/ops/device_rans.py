@@ -145,6 +145,62 @@ def lane_decode_segment_impl(states, pos, buf, cdfs, count):
     return states, pos, syms_out[:cap]
 
 
+def lane_decode_backward_impl(states, pos, buf, cdfs, count):
+    """Decode a segment directly from an ENCODER's buffer: bytes were
+    appended forward, so renorm reads walk backward (pos decrements), and
+    the decoder starts from the encoder's final states — a zero-copy
+    device-side loopback (no host flush/reverse). Segments decode in reverse
+    encode order, exactly the LIFO contract."""
+    lanes = states.shape[0]
+    cap, s = cdfs.shape
+    capb = buf.shape[1]
+    lane_ids = jnp.arange(lanes)
+    padded = _pad_rows(cap, lanes)
+    if padded != cap:
+        cdfs = jnp.pad(cdfs, ((0, padded - cap), (0, 0)))
+    blocks = padded // (lanes * UNROLL)
+    syms_out = jnp.zeros((padded,), jnp.int32)
+    sym_cols = jax.lax.broadcasted_iota(jnp.int32, (lanes, s), 1)
+
+    def body(b, carry):
+        states, pos, syms_out = carry
+        base = b * lanes * UNROLL
+        rows_blk = jax.lax.dynamic_slice(
+            cdfs, (base, 0), (lanes * UNROLL, s)).astype(jnp.uint32)
+        sym_list = []
+        for u in range(UNROLL):
+            row = rows_blk[u * lanes:(u + 1) * lanes]
+            mask = (base + u * lanes + lane_ids) < count
+            cf = states & 0xFFFF
+            sym = jnp.minimum((row <= cf[:, None]).sum(-1), s - 1) \
+                .astype(jnp.int32)
+            start = jnp.where(sym_cols == (sym - 1)[:, None], row, 0) \
+                .sum(1, dtype=jnp.uint32)
+            start = jnp.where(sym == 0, 0, start)
+            end = jnp.where(sym_cols == sym[:, None], row, 0) \
+                .sum(1, dtype=jnp.uint32)
+            end = jnp.where(sym == s - 1, jnp.uint32(1 << 16), end)
+            freq = end - start
+            x = freq * (states >> 16) + cf - start
+            new_pos = pos
+            for _ in range(2):
+                need = x < RANS_L
+                rd = jnp.clip(new_pos - 1, 0, capb - 1)
+                byte = buf[lane_ids, rd].astype(jnp.uint32)
+                x = jnp.where(need, (x << 8) | byte, x)
+                new_pos = new_pos - need.astype(jnp.int32)
+            states = jnp.where(mask, x, states)
+            pos = jnp.where(mask, new_pos, pos)
+            sym_list.append(jnp.where(mask, sym, 0))
+        syms_out = jax.lax.dynamic_update_slice(
+            syms_out, jnp.concatenate(sym_list), (base,))
+        return states, pos, syms_out
+
+    states, pos, syms_out = jax.lax.fori_loop(
+        0, blocks, body, (states, pos, syms_out))
+    return states, pos, syms_out[:cap]
+
+
 lane_encode_segment = jax.jit(lane_encode_segment_impl, donate_argnums=(0, 1, 2))
 lane_decode_segment = jax.jit(lane_decode_segment_impl, donate_argnums=(0, 1))
 

@@ -58,6 +58,23 @@ def test_roundtrip_lossless(cfg_kw):
     assert bpp < 48  # untrained, but far below raw 3*8 bits/axis
 
 
+def test_device_loopback_roundtrip():
+    """Encode + backward-decode entirely on device must be lossless and
+    agree with the host-flushed bitstream size scale."""
+    cfg = _small_cfg()
+    model = Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    xyz = _random_cloud(700, 256, seed=9)
+    recon, ok, nbytes = model.device_roundtrip(params, xyz)
+    assert ok, 'device loopback not lossless'
+    recon_sorted = recon[np.lexsort(recon.T[::-1])]
+    xyz_sorted = xyz[np.lexsort(xyz.T[::-1])]
+    np.testing.assert_array_equal(recon_sorted, xyz_sorted)
+    blob = model.compress(params, xyz)
+    # loopback byte estimate excludes the host-coded bottom coords
+    assert 0.3 * len(blob) < nbytes < 1.5 * len(blob)
+
+
 def test_train_loss_decreases():
     import optax
     cfg = _small_cfg()
