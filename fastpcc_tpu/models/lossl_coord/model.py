@@ -436,9 +436,12 @@ class Model:
             self.profile = prof
             self._lane_backward = False
             self._use_lane_decode = self.cfg.device_coder
-        coords = masked_decode(states[0].codes, self.bits)
+        stop = getattr(self, '_scale_stop', 0)   # diagnosis hook
+        final = states[stop]
+        coords = masked_decode(final.codes, self.bits)
         valid = jnp.arange(codes.shape[0]) < count
-        ok = jnp.all(jnp.where(valid, states[0].codes == codes, True))
+        ok = jnp.all(jnp.where(valid, final.codes == codes, True)) \
+            if stop == 0 else jnp.bool_(True)
         stream_bytes = lane_pos.sum() + 6 * lane_pos.shape[0]
         return coords, ok, stream_bytes
 
@@ -546,7 +549,8 @@ class Model:
         cap = states[top].codes.shape[0]
         feats = jnp.ones((cap, 1), self.compute_dtype)
         collected = []
-        for idx in range(top, 0, -1):
+        stop_at = getattr(self, '_scale_stop', 0)  # diagnosis hook
+        for idx in range(top, stop_at, -1):
             if not self.cfg.feature_propagation:
                 feats = jnp.ones((cap, 1), self.compute_dtype)
             name, mod = self._block_info(idx, top)
