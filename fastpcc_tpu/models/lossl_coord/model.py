@@ -423,12 +423,28 @@ class Model:
             jnp.arange(bottom_coords.shape[0]) < bcount,
             morton_encode(bottom_coords.astype(jnp.int64)),
             jnp.int64(1) << 62)
+        # One-shot per-lane byte reversal so the decoder reads FORWARD.
+        # (The backward-reading decoder variant stalls ~4s per scale on this
+        # TPU runtime — decreasing-index gathers in a loop hit a slow path —
+        # while the same loop reading forward runs at full speed.)
+        capb = lane_buf.shape[1]
+        col = jnp.arange(capb)
+        src = jnp.clip(lane_pos[:, None] - 1 - col[None, :], 0, capb - 1)
+        flipped = jnp.take_along_axis(lane_buf, src, axis=1)
+        flipped = jnp.where(col[None, :] < lane_pos[:, None], flipped, 0)
+        # materialize ONCE: without the barrier XLA fuses this producer into
+        # every in-loop byte gather, recomputing the 32MB flip per read
+        # (~4s/scale measured)
+        flipped = jax.lax.optimization_barrier(flipped)
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
-            self._lane = (lane_states, lane_pos, lane_buf)
+            self._lane = (lane_states, jnp.zeros_like(lane_pos), flipped)
             self._use_lane_decode = True
-            self._lane_backward = True
+            self._lane_backward = False
+            if getattr(self, '_probe_fake_syms', False):  # diagnosis hook
+                pyr = _build_pyramid(codes, count, self.bits, top)
+                self._fake_syms = {s: pyr[s - 1][5] for s in range(1, top + 1)}
             states = {top: _ScaleState(bottom_codes, bcount, None)}
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
@@ -436,6 +452,7 @@ class Model:
             self.profile = prof
             self._lane_backward = False
             self._use_lane_decode = self.cfg.device_coder
+            self._fake_syms = None
         stop = getattr(self, '_scale_stop', 0)   # diagnosis hook
         final = states[stop]
         coords = masked_decode(final.codes, self.bits)
@@ -640,11 +657,15 @@ class Model:
         if getattr(self, '_use_lane_decode', self.cfg.device_coder):
             t0 = time.perf_counter()
             lane_states, lane_pos, lane_buf = self._lane
-            decode_impl = lane_decode_backward_impl \
-                if getattr(self, '_lane_backward', False) \
-                else lane_decode_segment_impl
-            lane_states, lane_pos, syms = decode_impl(
-                lane_states, lane_pos, lane_buf, cdfs, st.count)
+            fake = getattr(self, '_fake_syms', None)  # diagnosis hook
+            if fake is not None:
+                syms = fake[idx] + (cdfs[:, 0] * 0).astype(jnp.int32)
+            else:
+                decode_impl = lane_decode_backward_impl \
+                    if getattr(self, '_lane_backward', False) \
+                    else lane_decode_segment_impl
+                lane_states, lane_pos, syms = decode_impl(
+                    lane_states, lane_pos, lane_buf, cdfs, st.count)
             self._lane = (lane_states, lane_pos, lane_buf)
             if self.profile:
                 jax.block_until_ready(syms)
