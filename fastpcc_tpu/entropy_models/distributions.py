@@ -67,10 +67,11 @@ def noisy_normal_likelihood(y: jax.Array, loc, scale) -> jax.Array:
     cdf/sf difference (reference: uniform_noise.py:58-87)."""
     x = (y - loc) / scale
     half = 0.5 / scale
-    big = jax.scipy.special.ndtr(jnp.abs(x) + half)
-    small = jax.scipy.special.ndtr(jnp.abs(x) - half)
-    # symmetric: P(|x| in band) identical either side of 0
-    p = big - small
+    # survival-function form: both terms stay small in the tails, so the
+    # difference keeps precision where cdf(big) - cdf(small) would cancel
+    # to 0 in float32 (symmetric: P(|x| in band) identical either side of 0)
+    p = jax.scipy.special.ndtr(-(jnp.abs(x) - half)) - \
+        jax.scipy.special.ndtr(-(jnp.abs(x) + half))
     return jnp.maximum(p, LIKELIHOOD_BOUND)
 
 

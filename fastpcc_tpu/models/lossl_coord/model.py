@@ -6,12 +6,18 @@ TPU-native rebuild of the reference's multiscale occupancy model
 functions, so the device-computed CDFs are bit-identical on both sides —
 the property the reference gets from running one network twice on one GPU.
 
-Bitstream layout (little-endian), mirroring the reference with one addition:
+Bitstream layout (little-endian), mirroring the reference with additions:
+  1B      format (1 = device interleaved-word coder, 0 = host coder)
   3 x 2B  per-axis coordinate offset   (reference: lossl_coord/model.py:558-560)
-  2B      bottom-scale point count
+  4B      bottom-scale point count
   4B      original point count         (added: decode-side capacity planning,
                                         replaces dynamic shapes)
-  rANS stream: [scale 1 .. top] octants LIFO, then bottom coords
+  4B      bottom-coord alphabet size k (added: replaces the reference's
+                                        128-bounded side CDF — the reference
+                                        asserts k-2 <= 128 at model.py:486;
+                                        here any k is legal)
+  fmt 1:  4B blob length + interleaved-word rANS blob (all scales' octants)
+  host rANS stream: bottom-coord CDF rows + values (+ fmt 0: all octants)
 """
 import io
 import math
@@ -24,11 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import sparse as sp
+from ...ops import ilv_rans as ir
 from ...ops.morton import masked_decode, np_morton_encode
-from ...ops.device_rans import (init_lane_state, lane_encode_segment_impl,
-                                lane_decode_segment_impl,
-                                lane_decode_backward_impl,
-                                lane_flush_to_bytes, lane_bytes_to_state)
 from ...runtime import RansEncoder, RansDecoder
 from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
                       make_blocks)
@@ -107,14 +110,14 @@ def _cdf_rows(logits: jax.Array) -> jax.Array:
 
 @jax.jit
 def _enc_pairs(cdf_rows: jax.Array, symbols: jax.Array):
-    """Per-symbol (start, freq-1) uint16 pairs for the raw streaming encoder."""
+    """Per-symbol (start, freq) uint16 pairs for the word coder."""
     s = jnp.clip(symbols, 0, cdf_rows.shape[-1] - 1)
     row = jnp.arange(cdf_rows.shape[0])
     end = jnp.where(s == cdf_rows.shape[-1] - 1, 65536,
                     cdf_rows[row, s].astype(jnp.int32))
     start = jnp.where(s == 0, 0, cdf_rows[row, jnp.maximum(s - 1, 0)]
                       .astype(jnp.int32))
-    return start.astype(jnp.uint16), (end - start - 1).astype(jnp.uint16)
+    return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
 
 
 @functools.partial(jax.jit, static_argnames=('bits', 'max_down'))
@@ -180,14 +183,11 @@ class Model:
         # transfer, so encode and decode each trace into ONE program.
         self._mega_encode = jax.jit(self._traced_encode)
         self._mega_decode = jax.jit(self._traced_decode)
-        # side-info CDFs for bottom-coordinate coding
+        # uniform side CDF for bottom-coordinate CDF-row transmission
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
         cdf1[-1] = 65535
-        cdf2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
-        cdf2[-1] = 65535
         self._side_cdf1 = cdf1[None]
-        self._side_cdf2 = cdf2[None]
 
     # ------------------------------------------------------------- params
 
@@ -330,9 +330,12 @@ class Model:
             self._dec = RansDecoder()
         return self._enc, self._dec
 
-    def _encode_bottom_coords(self, enc: RansEncoder, coords: np.ndarray):
-        """Raw bottom-scale coords via bincount CDF + transmitted side info
-        (reference: lossl_coord/model.py:482-508,519-525)."""
+    def _encode_bottom_coords(self, enc: RansEncoder, coords: np.ndarray) -> int:
+        """Raw bottom-scale coords via bincount CDF + transmitted CDF rows
+        (reference: lossl_coord/model.py:482-508,519-525). Returns the
+        alphabet size k, which the caller writes into the byte header (the
+        reference instead codes k against a 128-entry side CDF and asserts
+        k-2 <= 128, reference: lossl_coord/model.py:486)."""
         values = coords.reshape(-1).astype(np.int64)
         k = max(int(values.max(initial=0)) + 1, 2)
         pmf = np.bincount(values, minlength=k).astype(np.float64) / len(values)
@@ -342,12 +345,10 @@ class Model:
         cdf = cdf.astype(np.uint16)
         enc.encode(cdf[None], values.astype(np.uint16))
         enc.encode(self._side_cdf1, cdf[:-1].astype(np.int64).astype(np.uint16) - 1)
-        enc.encode(self._side_cdf2, np.array([k - 2], dtype=np.uint16))
+        return k
 
-    def _decode_bottom_coords(self, dec: RansDecoder, n_values: int) -> np.ndarray:
-        k_arr = np.empty((1,), np.uint16)
-        dec.decode(self._side_cdf2, k_arr)
-        k = int(k_arr[0]) + 2
+    def _decode_bottom_coords(self, dec: RansDecoder, n_values: int,
+                              k: int) -> np.ndarray:
         row = np.empty((k - 1,), np.uint16)
         dec.decode(self._side_cdf1, row)
         cdf = np.zeros((k,), np.uint16)
@@ -365,9 +366,15 @@ class Model:
 
     # ------------------------------------------------ single-program paths
 
+    def _word_capacity(self, cap: int) -> int:
+        """Worst-case interleaved-stream words for a frame: one word per
+        symbol, summed over the scale pyramid (sum count_s < 1.15 * cap),
+        plus coder overhead."""
+        return ir.word_capacity_for(2 * cap, self.cfg.coder_lanes)
+
     def _traced_encode(self, params, codes, count):
         """Whole encode as one traceable function: pyramid, all per-scale
-        NNs + CDFs + pair gathers, and the full lane-rANS encode."""
+        NNs + CDFs + pair gathers, and the full interleaved rANS encode."""
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
@@ -385,24 +392,27 @@ class Model:
                 return pyramid[s - 1][5]
 
             collected = self._run_scales(params, states, top, symbols_of)
-            lane = init_lane_state(self.cfg.coder_lanes,
-                                   self._lane_byte_capacity(cap))
+            rs, bptr, buf = ir.init_encoder(self.cfg.coder_lanes,
+                                            self._word_capacity(cap))
             for starts, freqs, cnt in collected:
-                lane = lane_encode_segment_impl(*lane, starts, freqs, cnt)
+                rs, bptr, buf = ir.encode_segment(rs, bptr, buf, starts,
+                                                  freqs, cnt)
+            bptr, buf = ir.encode_flush(rs, bptr, buf)
             bottom_coords = masked_decode(states[top].codes, self.bits)
-            return (*lane, bottom_coords, states[top].count)
+            return bptr, buf, bottom_coords, states[top].count
         finally:
             self.profile = prof
 
-    def _traced_decode(self, params, bottom_codes, bottom_count, lane_states,
-                       lane_pos, lane_buf):
-        """Whole decode as one traceable function: all scales' NNs, lane-rANS
+    def _traced_decode(self, params, bottom_codes, bottom_count, stream):
+        """Whole decode as one traceable function: all scales' NNs, rANS
         symbol decoding, child expansion, and the final coordinate decode."""
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
-            self._lane = (lane_states, lane_pos, lane_buf)
-            self._use_lane_decode = True
+            rs, ptr = ir.init_decoder(stream, jnp.int32(0),
+                                      self.cfg.coder_lanes)
+            self._rans = (rs, ptr, stream)
+            self._use_device_decode = True
             states = {top: _ScaleState(bottom_codes, bottom_count, None)}
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
@@ -412,54 +422,34 @@ class Model:
 
     def _traced_roundtrip(self, params, codes, count):
         """Encode then decode entirely on device: the decoder reads the
-        encoder's byte buffer backwards (LIFO) starting from the encoder's
-        final states — zero host involvement. Returns (decoded coords,
-        lossless flag, total stream bytes). Used for loopback verification
-        and for artifact-free throughput measurement (see PERFNOTES.md)."""
-        lane_states, lane_pos, lane_buf, bottom_coords, bcount = \
+        encoder's word buffer forward from its final back-pointer — zero
+        host involvement. Returns (decoded coords, lossless flag, total
+        stream bytes). Used for loopback verification and for artifact-free
+        throughput measurement (see PERFNOTES.md)."""
+        bptr, buf, bottom_coords, bcount = \
             self._traced_encode(params, codes, count)
         from ...ops.morton import morton_encode
         bottom_codes = jnp.where(
             jnp.arange(bottom_coords.shape[0]) < bcount,
             morton_encode(bottom_coords.astype(jnp.int64)),
             jnp.int64(1) << 62)
-        # One-shot per-lane byte reversal so the decoder reads FORWARD.
-        # (The backward-reading decoder variant stalls ~4s per scale on this
-        # TPU runtime — decreasing-index gathers in a loop hit a slow path —
-        # while the same loop reading forward runs at full speed.)
-        capb = lane_buf.shape[1]
-        col = jnp.arange(capb)
-        src = jnp.clip(lane_pos[:, None] - 1 - col[None, :], 0, capb - 1)
-        flipped = jnp.take_along_axis(lane_buf, src, axis=1)
-        flipped = jnp.where(col[None, :] < lane_pos[:, None], flipped, 0)
-        # materialize ONCE: without the barrier XLA fuses this producer into
-        # every in-loop byte gather, recomputing the 32MB flip per read
-        # (~4s/scale measured)
-        flipped = jax.lax.optimization_barrier(flipped)
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
-            self._lane = (lane_states, jnp.zeros_like(lane_pos), flipped)
-            self._use_lane_decode = True
-            self._lane_backward = False
-            if getattr(self, '_probe_fake_syms', False):  # diagnosis hook
-                pyr = _build_pyramid(codes, count, self.bits, top)
-                self._fake_syms = {s: pyr[s - 1][5] for s in range(1, top + 1)}
+            rs, ptr = ir.init_decoder(buf, bptr, self.cfg.coder_lanes)
+            self._rans = (rs, ptr, buf)
+            self._use_device_decode = True
             states = {top: _ScaleState(bottom_codes, bcount, None)}
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
         finally:
             self.profile = prof
-            self._lane_backward = False
-            self._use_lane_decode = self.cfg.device_coder
-            self._fake_syms = None
-        stop = getattr(self, '_scale_stop', 0)   # diagnosis hook
-        final = states[stop]
+            self._use_device_decode = self.cfg.device_coder
+        final = states[0]
         coords = masked_decode(final.codes, self.bits)
         valid = jnp.arange(codes.shape[0]) < count
-        ok = jnp.all(jnp.where(valid, final.codes == codes, True)) \
-            if stop == 0 else jnp.bool_(True)
-        stream_bytes = lane_pos.sum() + 6 * lane_pos.shape[0]
+        ok = jnp.all(jnp.where(valid, final.codes == codes, True))
+        stream_bytes = 2 * (buf.shape[0] - self.cfg.coder_lanes - bptr)
         return coords, ok, stream_bytes
 
     def device_roundtrip(self, params: Dict, xyz: np.ndarray):
@@ -484,26 +474,27 @@ class Model:
         if self.cfg.device_coder:
             codes = jnp.asarray(sp_pad_codes(codes_np, cap))
             t0 = time.perf_counter()
-            out = self._mega_encode(params, codes, jnp.int32(n))
-            lane_states, lane_pos, lane_buf, bottom_coords_dev, bcount = out
+            bptr, buf, bottom_coords_dev, bcount = self._mega_encode(
+                params, codes, jnp.int32(n))
             if self.profile:
-                jax.block_until_ready(lane_buf)
+                jax.block_until_ready(buf)
             self._prof('mega_encode', t0)
             t0 = time.perf_counter()
-            lane_blob = lane_flush_to_bytes(lane_states, lane_pos, lane_buf)
+            blob = ir.stream_to_bytes(bptr, buf, self.cfg.coder_lanes)
             bottom_n = int(bcount)
             bottom_coords = np.asarray(bottom_coords_dev)[:bottom_n]
             self._prof('enc_fetch', t0)
             t0 = time.perf_counter()
-            self._encode_bottom_coords(enc, bottom_coords)
+            k = self._encode_bottom_coords(enc, bottom_coords)
             with io.BytesIO() as bs:
                 bs.write(bytes([1]))
                 for v in offset.tolist():
                     bs.write(int(v).to_bytes(2, 'little'))
-                bs.write(bottom_n.to_bytes(2, 'little'))
+                bs.write(bottom_n.to_bytes(4, 'little'))
                 bs.write(n.to_bytes(4, 'little'))
-                bs.write(len(lane_blob).to_bytes(4, 'little'))
-                bs.write(lane_blob)
+                bs.write(k.to_bytes(4, 'little'))
+                bs.write(len(blob).to_bytes(4, 'little'))
+                bs.write(blob)
                 bs.write(enc.flush())
                 self._prof('enc_host_coder', t0)
                 return bs.getvalue()
@@ -531,20 +522,17 @@ class Model:
             enc.encode_raw(starts, freqs)
         bottom_coords = np.asarray(
             masked_decode(states[top].codes, self.bits)[:states[top].n])
-        self._encode_bottom_coords(enc, bottom_coords)
+        k = self._encode_bottom_coords(enc, bottom_coords)
 
         with io.BytesIO() as bs:
             bs.write(bytes([0]))
             for v in offset.tolist():
                 bs.write(int(v).to_bytes(2, 'little'))
-            bs.write(states[top].n.to_bytes(2, 'little'))
+            bs.write(states[top].n.to_bytes(4, 'little'))
             bs.write(n.to_bytes(4, 'little'))
+            bs.write(k.to_bytes(4, 'little'))
             bs.write(enc.flush())
             return bs.getvalue()
-
-    def _lane_byte_capacity(self, cap: int) -> int:
-        worst = 2 * (self.max_down + 1) * cap // self.cfg.coder_lanes + 8
-        return max(1 << math.ceil(math.log2(worst)), 4096)
 
     def _table(self, state: _ScaleState, s: int):
         if state.table is None:
@@ -566,8 +554,7 @@ class Model:
         cap = states[top].codes.shape[0]
         feats = jnp.ones((cap, 1), self.compute_dtype)
         collected = []
-        stop_at = getattr(self, '_scale_stop', 0)  # diagnosis hook
-        for idx in range(top, stop_at, -1):
+        for idx in range(top, 0, -1):
             if not self.cfg.feature_propagation:
                 feats = jnp.ones((cap, 1), self.compute_dtype)
             name, mod = self._block_info(idx, top)
@@ -647,29 +634,21 @@ class Model:
             else:
                 t0 = time.perf_counter()
                 collected.insert(0, (np.asarray(starts[:st.n]),
-                                     np.asarray(freqs[:st.n])))
+                                     np.asarray(freqs[:st.n]) - 1))
                 self._prof('enc_pair_fetch', t0)
             if st.bins is None:
                 st.bins = sp.symbols_to_bins(syms).astype(jnp.float32)
             return st.bins
         # decode path
         cap = st.codes.shape[0]
-        if getattr(self, '_use_lane_decode', self.cfg.device_coder):
+        if getattr(self, '_use_device_decode', self.cfg.device_coder):
             t0 = time.perf_counter()
-            lane_states, lane_pos, lane_buf = self._lane
-            fake = getattr(self, '_fake_syms', None)  # diagnosis hook
-            if fake is not None:
-                syms = fake[idx] + (cdfs[:, 0] * 0).astype(jnp.int32)
-            else:
-                decode_impl = lane_decode_backward_impl \
-                    if getattr(self, '_lane_backward', False) \
-                    else lane_decode_segment_impl
-                lane_states, lane_pos, syms = decode_impl(
-                    lane_states, lane_pos, lane_buf, cdfs, st.count)
-            self._lane = (lane_states, lane_pos, lane_buf)
+            rs, ptr, stream = self._rans
+            rs, ptr, syms = ir.decode_segment(rs, ptr, stream, cdfs, st.count)
+            self._rans = (rs, ptr, stream)
             if self.profile:
                 jax.block_until_ready(syms)
-            self._prof('lane_decode', t0)
+            self._prof('rans_decode', t0)
             child_n = cap  # host never needs the exact count mid-decode
         else:
             _, dec = self._coders()
@@ -698,30 +677,31 @@ class Model:
             fmt = bs.read(1)[0]
             offset = np.array([int.from_bytes(bs.read(2), 'little')
                                for _ in range(3)], np.int32)
-            bottom_n = int.from_bytes(bs.read(2), 'little')
+            bottom_n = int.from_bytes(bs.read(4), 'little')
             org_n = int.from_bytes(bs.read(4), 'little')
+            k = int.from_bytes(bs.read(4), 'little')
             if fmt == 1:
-                lane_len = int.from_bytes(bs.read(4), 'little')
-                lane_blob = bs.read(lane_len)
+                blob_len = int.from_bytes(bs.read(4), 'little')
+                blob = bs.read(blob_len)
             else:
-                lane_blob = b''
+                blob = b''
             stream = bs.read()
         dec.flush(stream)
 
         top = self.max_down - self.cfg.skip_top_scales_num
         cap = _bucket(org_n)
-        self._use_lane_decode = fmt == 1
+        self._use_device_decode = fmt == 1
         t0 = time.perf_counter()
-        coords = self._decode_bottom_coords(dec, bottom_n * 3).reshape(-1, 3)
+        coords = self._decode_bottom_coords(dec, bottom_n * 3, k).reshape(-1, 3)
         codes_np = np.sort(np_morton_encode(coords.astype(np.int64)))
         self._prof('dec_host_coder', t0)
         if fmt == 1:
-            ls, lp, lb, _ = lane_bytes_to_state(
-                lane_blob, self.cfg.coder_lanes, self._lane_byte_capacity(cap))
+            words, _, _ = ir.bytes_to_stream(blob, self._word_capacity(cap),
+                                             self.cfg.coder_lanes)
             t0 = time.perf_counter()
             coords_dev = self._mega_decode(
                 params, jnp.asarray(sp_pad_codes(codes_np, cap)),
-                jnp.int32(bottom_n), ls, lp, lb)
+                jnp.int32(bottom_n), words)
             xyz = np.asarray(coords_dev)[:org_n]
             self._prof('mega_decode', t0)
             return xyz + offset[None]

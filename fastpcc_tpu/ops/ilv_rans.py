@@ -179,7 +179,7 @@ def decode_segment(states, ptr, stream, cdfs, count):
         states, ptr, syms_out = carry
         base = b * per
         rows_blk = jax.lax.dynamic_slice(
-            cdfs, (base, 0), (per, s)).astype(jnp.uint32)
+            cdfs, (base, jnp.zeros_like(base)), (per, s)).astype(jnp.uint32)
         sym_list = []
         for u in range(UNROLL):
             row = rows_blk[u * lanes:(u + 1) * lanes]      # [L, S]
