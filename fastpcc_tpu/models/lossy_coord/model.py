@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops import sparse as sp
+from ...ops import ilv_rans as ir
 from ...ops.morton import masked_decode, np_morton_encode
 from ...runtime import RansEncoder, RansDecoder
 from ...entropy_models.batched import (ContinuousBatchedEntropyModel,
@@ -34,6 +35,7 @@ from ...entropy_models.batched import (ContinuousBatchedEntropyModel,
 from ...entropy_models.hyperprior import ScaleHyperprior, HyperpriorCoder
 from ...entropy_models.utils import concat_byte_streams, split_byte_streams
 from .network import EncoderStage, DecoderStage, ConvBlock3
+from .recurrent import RecurrentEM
 from .model_config import Config
 
 NUM_SCALES = 3  # encoder/decoder stages (PCGCv2 topology)
@@ -46,6 +48,12 @@ def _bucket(n: int, minimum: int = 1024) -> int:
 def _bce(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + \
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _rec_cap(cap: int, cfg) -> int:
+    """Static row capacity of the recurrent part (scales >= 3); point counts
+    shrink ~8x per scale, so a fraction of the full capacity suffices."""
+    return max(cap // cfg.rec_capacity_div, 64)
 
 
 def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
@@ -81,16 +89,33 @@ class LossyNet(nn.Module):
 
     def setup(self):
         c = self.cfg
+        rec = c.em_mode == 'lossless_based'
         enc_ch = c.encoder_channels          # (4, 16, 64, 64)
+        bottleneck_ch = c.recurrent_part_channels if rec \
+            else c.compressed_channels
         self.first = ConvBlock3(enc_ch[0], 'relu')
         self.enc_stages = [
             EncoderStage(enc_ch[i + 1],
-                         enc_ch[i + 1] if i < NUM_SCALES - 1
-                         else c.compressed_channels,
+                         enc_ch[i + 1] if i < NUM_SCALES - 1 else bottleneck_ch,
                          c.basic_block_type, c.basic_block_num,
-                         last_act='relu' if i < NUM_SCALES - 1 else None)
+                         last_act='relu' if (i < NUM_SCALES - 1 or rec)
+                         else None)
             for i in range(NUM_SCALES)]
-        if c.em_mode == 'hyperprior':
+        if rec:
+            # recurrent lossless-based EM (reference: geo_lossl_em.py:20-400)
+            self.em = RecurrentEM(
+                hidden=c.recurrent_part_channels,
+                channels=c.compressed_channels,
+                block_type=c.basic_block_type,
+                block_num=c.basic_block_num,
+                act='relu',
+                coord_index_ranges=c.lossless_coord_indexes_range,
+                fea_index_ranges=c.prior_indexes_range,
+                fea_num_filters=c.lossless_fea_num_filters,
+                hybrid_hyper_decoder_fea=c.hybrid_hyper_decoder_fea,
+                fea_tail_range=c.em_tail_range,
+                bottleneck_process=c.bottleneck_process)
+        elif c.em_mode == 'hyperprior':
             # pointwise hyper codec on the bottleneck features (the reference
             # uses sparse-conv hyper nets, model.py:126-192; pointwise is the
             # minimal faithful variant on our code-sparse representation)
@@ -171,7 +196,12 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
     y = net.encode_bottom(feats0, tables, pyramids).astype(jnp.float32)
 
     valid_bottom = (jnp.arange(cap) < grids[NUM_SCALES][1]).astype(jnp.float32)
-    y_tilde, em_bits = net.em_train(y, rng, valid_bottom)
+    if cfg.em_mode == 'lossless_based':
+        y_tilde, em_bits, _ = _rec_em_train(
+            net, y, grids[NUM_SCALES][0], grids[NUM_SCALES][1], bits, rng,
+            _rec_cap(cap, cfg), dtype)
+    else:
+        y_tilde, em_bits = net.em_train(y, rng, valid_bottom)
     total_points = points_num.sum()
 
     feats = (y_tilde * valid_bottom[:, None]).astype(dtype)
@@ -215,6 +245,243 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
 
 
 # --------------------------------------------------------------------------
+# recurrent lossless-based EM drivers (reference: geo_lossl_em.py:94-329)
+# --------------------------------------------------------------------------
+
+_BCAP = 8  # static row capacity for the 1-voxel-per-sample bottom scale
+
+
+def _octant_gather(dense: jax.Array, p_of_c: jax.Array,
+                   octant: jax.Array) -> jax.Array:
+    """[M, 8, C] per-octant parent outputs -> child rows via (parent, octant)
+    maps (misses -> zeros)."""
+    m = dense.shape[0]
+    flat = dense.reshape(m * 8, -1)
+    flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], 0)
+    return flat[jnp.minimum(p_of_c * 8 + octant, m * 8)]
+
+
+def _rec_pyramid(net, codes3, count3, bits):
+    """Scales 3..coord_bits of the recurrent part (row capacity = rec_cap).
+    Returns (scales, maps, tables): scales[s] = (codes, count);
+    maps[s] = (child_to_parent, octant) mapping scale-s rows into s+1."""
+    top = net.cfg.coord_bits
+    scales = {NUM_SCALES: (codes3, count3)}
+    maps, tables = {}, {}
+    tables[NUM_SCALES] = sp.build_neighbor_table(
+        codes3, count3, bits, bits - NUM_SCALES)
+    g = (codes3, count3)
+    for s in range(NUM_SCALES, top):
+        octant = (g[0] & 7).astype(jnp.int32)
+        parent, _, c2p = sp.downsample_with_bins(g[0], g[1], bits, 0)
+        maps[s] = (c2p, octant)
+        scales[s + 1] = (parent.codes, parent.count)
+        tables[s + 1] = sp.build_neighbor_table(
+            parent.codes, parent.count, bits, bits - (s + 1))
+        g = (parent.codes, parent.count)
+    return scales, maps, tables
+
+
+def _rec_encoder_pass(net, y_r, scales, tables, bits, dtype):
+    """Gated recurrent downsampling (reference: layers.py:450-476):
+    y_r [rec_cap, H] at scale 3 -> list of hx per scale 3..top (float32)."""
+    top = net.cfg.coord_bits
+    cx = y_r.astype(dtype)
+    hx = net.em.first_hx(cx)
+    hx_list = [hx]
+    for i, s in enumerate(range(NUM_SCALES, top)):
+        cxg = net.em.enc_forget(i, cx, hx.astype(cx.dtype))
+        dense = sp.ancestor_gather_dense(
+            scales[s][0], scales[s][1], cxg, scales[s + 1][0], bits, 1)
+        cx, hx = net.em.enc_step_parent(i, dense, tables[s + 1])
+        hx_list.append(hx)
+    return hx_list
+
+
+def _rec_coord_nn(net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s,
+                  dtype):  # cand_cap = rec_cap * cfg.rec_cand_factor
+    """Hyper-decode candidate-occupancy indexes at all 8 children of scale
+    s+1 (reference: geo_lossl_em.py:117-122)."""
+    dense8 = net.em.hd_coord_up(i, lower.astype(dtype))
+    pcap = codes_sp1.shape[0]
+    all8 = jnp.broadcast_to((jnp.arange(pcap) < count_sp1)[:, None], (pcap, 8))
+    cand, p_of_c, oct_of_c = sp.expand_children(
+        codes_sp1, count_sp1, all8, bits, cand_cap)
+    cand_feats = _octant_gather(dense8, p_of_c, oct_of_c)
+    cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
+                                         bits - s)
+    idx_coord = net.em.hd_coord_refine(i, cand_feats, cand_table)
+    return cand, p_of_c, oct_of_c, idx_coord
+
+
+def _rec_fea_nn(net, i, lower, c2p_s, oct_s, table_s, dtype):
+    """Hyper-decode fea indexes (and hybrid prediction) onto the scale-s
+    coords (reference: geo_lossl_em.py:131-156)."""
+    dense8f = net.em.hd_fea_up(i, lower.astype(dtype))
+    feats = _octant_gather(dense8f, c2p_s, oct_s)
+    info = net.em.hd_fea_refine(i, feats, table_s)
+    return net.em.split_fea_pred(info)
+
+
+def _rec_em_train(net, y, codes3, count3, bits, rng, rec_cap, dtype):
+    """Training bits of the lossless-based EM -> (y_tilde at scale 3 [cap],
+    total bits, per-scale dict)."""
+    cfg = net.cfg
+    top = cfg.coord_bits
+    steps = top - NUM_SCALES
+    cap = codes3.shape[0]
+    codes3_r = codes3[:rec_cap]
+    count3_r = jnp.minimum(count3, rec_cap)
+    y_r = y[:rec_cap].astype(jnp.float32)
+    scales, maps, tables = _rec_pyramid(net, codes3_r, count3_r, bits)
+    hx_list = _rec_encoder_pass(net, y_r, scales, tables, bits, dtype)
+
+    valid_b = (jnp.arange(rec_cap) < scales[top][1]).astype(jnp.float32)
+    y_tilde_b, bits_bottom = net.em.bottom_train(
+        hx_list[-1], jax.random.fold_in(rng, 0), valid_b)
+    lower = y_tilde_b * valid_b[:, None]
+    loss = {'fea_bottom_bits': bits_bottom}
+    for i in range(steps - 1, -1, -1):
+        s = NUM_SCALES + i
+        codes_s, count_s = scales[s]
+        codes_sp1, count_sp1 = scales[s + 1]
+        cand, _, _, idx_coord = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1,
+            rec_cap * net.cfg.rec_cand_factor, bits, s, dtype)
+        target = sp.membership_mask(cand.codes, codes_s, count_s)
+        cand_valid = (jnp.arange(cand.codes.shape[0]) < cand.count) \
+            .astype(jnp.float32)
+        loss[f'coord_{i}_bits'] = net.em.coord_bits(
+            target.astype(jnp.float32), idx_coord, cand_valid)
+        pred, idx_f = _rec_fea_nn(net, i, lower, *maps[s], tables[s], dtype)
+        y_s = hx_list[i]
+        res = y_s - pred if pred is not None else y_s
+        valid_s = (jnp.arange(rec_cap) < count_s).astype(jnp.float32)
+        y_res_tilde, fbits = net.em.fea_train(
+            res, idx_f, jax.random.fold_in(rng, i + 1), valid_s[:, None])
+        loss[f'fea_{i}_bits'] = fbits
+        lower = (y_res_tilde + pred if pred is not None else y_res_tilde)
+        lower = lower * valid_s[:, None]
+    total = sum(loss.values())
+    y_tilde = jnp.pad(lower, ((0, cap - rec_cap), (0, 0)))
+    return y_tilde, total, loss
+
+
+def _rec_encode_em(net, y, codes3, count3, bits, rec_cap, dtype):
+    """Eval encode of the lossless-based EM on device -> (bptr, buf, ok).
+
+    Segments are collected in DECODE order (bottom, then coarse->fine
+    coord/fea pairs) and fed to the LIFO word encoder in reverse."""
+    cfg = net.cfg
+    top = cfg.coord_bits
+    steps = top - NUM_SCALES
+    tail = cfg.em_tail_range
+    c = cfg.compressed_channels
+    ok = count3 <= rec_cap
+    codes3_r = codes3[:rec_cap]
+    count3_r = jnp.minimum(count3, rec_cap)
+    y_r = y[:rec_cap].astype(jnp.float32)
+    scales, maps, tables = _rec_pyramid(net, codes3_r, count3_r, bits)
+    hx_list = _rec_encoder_pass(net, y_r, scales, tables, bits, dtype)
+    coord_table = net.em.coord_cdf_table()
+    fea_table = net.em.fea_cdf_table()
+    bottom_table = net.em.bottom_cdf_table()
+
+    segments = []   # decode order
+    count_b = scales[top][1]
+    ok = ok & (count_b <= _BCAP)
+    yb = hx_list[-1][:_BCAP]
+    syms_b = jnp.clip(jnp.round(yb), -tail, tail).astype(jnp.int32) + tail
+    rows_b = jnp.tile(bottom_table, (_BCAP, 1))
+    segments.append((rows_b, syms_b.reshape(-1), count_b * c))
+    valid_b = (jnp.arange(rec_cap) < count_b).astype(jnp.float32)
+    lower = jnp.pad((syms_b - tail).astype(jnp.float32),
+                    ((0, rec_cap - _BCAP), (0, 0))) * valid_b[:, None]
+
+    for i in range(steps - 1, -1, -1):
+        s = NUM_SCALES + i
+        codes_s, count_s = scales[s]
+        codes_sp1, count_sp1 = scales[s + 1]
+        cand_cap = rec_cap * cfg.rec_cand_factor
+        cand, _, _, idx_coord = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s, dtype)
+        ok = ok & (count_sp1 * 8 <= cand_cap)
+        mask = sp.membership_mask(cand.codes, codes_s, count_s)
+        rows_c = coord_table[net.em.coord_flat(idx_coord)]
+        segments.append((rows_c, mask.astype(jnp.int32), cand.count))
+        pred, idx_f = _rec_fea_nn(net, i, lower, *maps[s], tables[s], dtype)
+        y_s = hx_list[i]
+        res = y_s - pred if pred is not None else y_s
+        syms = jnp.clip(jnp.round(res), -tail, tail).astype(jnp.int32)
+        rows_f = fea_table[net.em.fea_flat(idx_f).reshape(-1)]
+        segments.append((rows_f, (syms + tail).reshape(-1), count_s * c))
+        valid_s = (jnp.arange(rec_cap) < count_s).astype(jnp.float32)
+        y_rec = syms.astype(jnp.float32)
+        lower = (y_rec + pred if pred is not None else y_rec) * valid_s[:, None]
+
+    lanes = cfg.coder_lanes
+    capw = ir.word_capacity_for(
+        steps * rec_cap * (cfg.rec_cand_factor + c) + _BCAP * c, lanes)
+    rs, bptr, buf = ir.init_encoder(lanes, capw)
+    for rows, syms, cnt in reversed(segments):
+        starts, freqs = ir.enc_pairs(rows, syms)
+        rs, bptr, buf = ir.encode_segment(rs, bptr, buf, starts, freqs, cnt)
+    bptr, buf = ir.encode_flush(rs, bptr, buf)
+    return bptr, buf, ok
+
+
+def _rec_decode_em(net, stream, bits, rec_cap, dtype):
+    """Eval decode (device): stream words -> (codes3, count3, y3)."""
+    cfg = net.cfg
+    top = cfg.coord_bits
+    steps = top - NUM_SCALES
+    tail = cfg.em_tail_range
+    c = cfg.compressed_channels
+    lanes = cfg.coder_lanes
+    coord_table = net.em.coord_cdf_table()
+    fea_table = net.em.fea_cdf_table()
+    bottom_table = net.em.bottom_cdf_table()
+
+    rs, ptr = ir.init_decoder(stream, jnp.int32(0), lanes)
+    count_b = jnp.int32(1)        # one voxel per sample (batch 1 at eval)
+    rows_b = jnp.tile(bottom_table, (_BCAP, 1))
+    rs, ptr, syms_b = ir.decode_segment(rs, ptr, stream, rows_b, count_b * c)
+    valid_b = (jnp.arange(rec_cap) < count_b).astype(jnp.float32)
+    lower = jnp.pad(syms_b.reshape(_BCAP, c).astype(jnp.float32) - tail,
+                    ((0, rec_cap - _BCAP), (0, 0))) * valid_b[:, None]
+    codes_sp1 = jnp.where(jnp.arange(rec_cap) < 1, jnp.int64(0),
+                          jnp.int64(1) << 62)
+    count_sp1 = count_b
+
+    codes_s = codes_sp1
+    count_s = count_sp1
+    for i in range(steps - 1, -1, -1):
+        s = NUM_SCALES + i
+        cand_cap = rec_cap * cfg.rec_cand_factor
+        cand, p_of_c, oct_of_c, idx_coord = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s, dtype)
+        rows_c = coord_table[net.em.coord_flat(idx_coord)]
+        rs, ptr, msyms = ir.decode_segment(rs, ptr, stream, rows_c, cand.count)
+        keep = msyms.astype(bool) & (jnp.arange(cand_cap) < cand.count)
+        codes_s, count_s, gidx = sp.mask_compact(cand.codes, keep, rec_cap)
+        pad = jnp.full((1,), codes_sp1.shape[0], jnp.int32)
+        p_pad = jnp.concatenate([p_of_c, pad])
+        o_pad = jnp.concatenate([oct_of_c, jnp.zeros((1,), jnp.int32)])
+        c2p_s = p_pad[jnp.minimum(gidx, cand_cap)]
+        oct_s = o_pad[jnp.minimum(gidx, cand_cap)]
+        table_s = sp.build_neighbor_table(codes_s, count_s, bits, bits - s)
+        pred, idx_f = _rec_fea_nn(net, i, lower, c2p_s, oct_s, table_s, dtype)
+        rows_f = fea_table[net.em.fea_flat(idx_f).reshape(-1)]
+        rs, ptr, syms = ir.decode_segment(rs, ptr, stream, rows_f,
+                                          count_s * c)
+        y = syms.reshape(rec_cap, c).astype(jnp.float32) - tail
+        valid_s = (jnp.arange(rec_cap) < count_s).astype(jnp.float32)
+        lower = (y + pred if pred is not None else y) * valid_s[:, None]
+        codes_sp1, count_sp1 = codes_s, count_s
+    return codes_s, count_s, lower
+
+
+# --------------------------------------------------------------------------
 # adaptive pruning (eval)
 # --------------------------------------------------------------------------
 
@@ -233,12 +500,15 @@ def _local_max_mask(cand_codes, cand_count, logits, levels: int):
     return (vals == seg_max[seg_id]) & valid
 
 
-@functools.partial(jax.jit, static_argnames=('levels',))
+@functools.partial(jax.jit, static_argnames=('levels', 'keep_local_max'))
 def adaptive_keep_mask(cand_codes, cand_count, logits, target_num,
-                       levels: int):
-    """keep = (logit > threshold) | local-max, threshold = k-th smallest
-    non-local-max logit, k = n_valid - target (reference:
-    generative_upsample.py:73-100, BCE branch, batch size 1)."""
+                       levels: int, keep_local_max: bool = False):
+    """keep = logit > threshold, threshold = k-th smallest non-local-max
+    logit, k = n_valid - target (reference: generative_upsample.py:73-100,
+    BCE branch, batch size 1 — local maxima are only excluded from the
+    threshold computation, NOT force-kept). keep_local_max=True additionally
+    unions local maxima in (the lossy_coord_v2 variant,
+    reference: lossy_coord_v2/layers.py:176-180)."""
     n = cand_codes.shape[0]
     is_lmax = _local_max_mask(cand_codes, cand_count, logits, levels)
     valid = jnp.arange(n) < cand_count
@@ -247,7 +517,10 @@ def adaptive_keep_mask(cand_codes, cand_count, logits, target_num,
     order = jnp.sort(vals)
     k = jnp.clip(cand_count - target_num, 1, n) - 1
     threshold = order[k]
-    return ((logits > threshold) & valid) | is_lmax
+    keep = (logits > threshold) & valid
+    if keep_local_max:
+        keep = keep | is_lmax
+    return keep
 
 
 @functools.partial(jax.jit, static_argnames=('levels',))
@@ -280,6 +553,19 @@ class Model:
         self._jit_decode_stage = jax.jit(
             functools.partial(_decode_stage_impl, self.net),
             static_argnums=(1, 5, 6, 7, 9))
+        self._jit_rec_encode = jax.jit(
+            functools.partial(_rec_encode_full, self.net),
+            static_argnums=(3, 4, 5))
+        self._jit_rec_decode = jax.jit(
+            functools.partial(_rec_decode_full, self.net),
+            static_argnums=(2, 3, 4))
+
+    def _rec_word_capacity(self, rec_cap: int) -> int:
+        steps = self.cfg.coord_bits - NUM_SCALES
+        return ir.word_capacity_for(
+            steps * rec_cap * (self.cfg.rec_cand_factor
+                               + self.cfg.compressed_channels)
+            + _BCAP * self.cfg.compressed_channels, self.cfg.coder_lanes)
 
     def init_params(self, rng: jax.Array, example_n: int = 512) -> Dict:
         cap = _bucket(example_n)
@@ -324,6 +610,10 @@ class Model:
 
     def _encode_bottom_coords(self, enc: RansEncoder,
                               coords: np.ndarray) -> bytes:
+        """Bincount-CDF coded raw coords; the alphabet size k travels as an
+        explicit 4B prefix (the reference codes k against a 128-entry side
+        CDF and asserts k-2 <= 128, reference: lossl_coord/model.py:486 —
+        unbounded here)."""
         values = coords.reshape(-1).astype(np.int64)
         k = max(int(values.max(initial=0)) + 1, 2)
         pmf = np.bincount(values, minlength=k).astype(np.float64) / len(values)
@@ -334,20 +624,13 @@ class Model:
         enc.encode(cdf[None], values.astype(np.uint16))
         side1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
         side1[-1] = 65535
-        side2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
-        side2[-1] = 65535
         enc.encode(side1[None], cdf[:-1].astype(np.int64).astype(np.uint16) - 1)
-        enc.encode(side2[None], np.array([k - 2], dtype=np.uint16))
-        return enc.flush()
+        return k.to_bytes(4, 'little') + enc.flush()
 
     def _decode_bottom_coords(self, dec: RansDecoder, blob: bytes,
                               n_values: int) -> np.ndarray:
-        dec.flush(blob)
-        side2 = (np.arange(1, 129, dtype=np.int64) * 512).astype(np.uint16)
-        side2[-1] = 65535
-        k_arr = np.empty((1,), np.uint16)
-        dec.decode(side2[None], k_arr)
-        k = int(k_arr[0]) + 2
+        k = int.from_bytes(blob[:4], 'little')
+        dec.flush(blob[4:])
         side1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
         side1[-1] = 65535
         row = np.empty((k - 1,), np.uint16)
@@ -360,7 +643,6 @@ class Model:
         return values.astype(np.int32)
 
     def compress(self, params, xyz: np.ndarray) -> bytes:
-        em_coder, enc, _ = self._coders(params)
         offset = xyz.min(0)
         codes_np = np.unique(np_morton_encode((xyz - offset).astype(np.int64)))
         n = len(codes_np)
@@ -368,9 +650,29 @@ class Model:
         codes = jnp.asarray(sp_pad(codes_np, cap))
         count = jnp.int32(n)
 
-        y_float, bottom_codes_np, targets = self._jit_encode(
+        if self.cfg.em_mode == 'lossless_based':
+            rec_cap = _rec_cap(cap, self.cfg)
+            bptr, buf, ok, targets = self._jit_rec_encode(
+                {'params': params}, codes, count, self.bits,
+                self.compute_dtype, rec_cap)
+            assert bool(ok), ('recurrent-EM capacity overflow: raise '
+                              'rec_capacity_div headroom or input size')
+            blob = ir.stream_to_bytes(bptr, buf, self.cfg.coder_lanes)
+            scaler = self.cfg.adaptive_pruning_num_scaler
+            tgt = [int(t * scaler) for t in np.asarray(targets)]
+            with io.BytesIO() as bs:
+                bs.write(n.to_bytes(4, 'little'))
+                for v in offset.tolist():
+                    bs.write(int(v).to_bytes(4, 'little', signed=True))
+                for t in tgt:
+                    bs.write(int(t).to_bytes(4, 'little'))
+                bs.write(blob)
+                return bs.getvalue()
+
+        em_coder, enc, _ = self._coders(params)
+        y_float, bottom_codes_np, bcount, targets = self._jit_encode(
             {'params': params}, codes, count, self.bits, self.compute_dtype)
-        bottom_n = int((bottom_codes_np != (1 << 62)).sum())
+        bottom_n = int(bcount)
         y_host = np.asarray(y_float)[:bottom_n]
         if self.cfg.em_mode == 'hyperprior':
             em_stream, _ = em_coder.compress(jnp.asarray(y_host))
@@ -396,6 +698,37 @@ class Model:
             return bs.getvalue()
 
     def decompress(self, params, data: bytes) -> np.ndarray:
+        if self.cfg.em_mode == 'lossless_based':
+            with io.BytesIO(data) as bs:
+                n = int.from_bytes(bs.read(4), 'little')
+                offset = np.array(
+                    [int.from_bytes(bs.read(4), 'little', signed=True)
+                     for _ in range(3)], np.int64)
+                targets = [int.from_bytes(bs.read(4), 'little')
+                           for _ in range(NUM_SCALES)]
+                blob = bs.read()
+            cap = _bucket(n)
+            rec_cap = _rec_cap(cap, self.cfg)
+            words, _, _ = ir.bytes_to_stream(
+                blob, self._rec_word_capacity(rec_cap), self.cfg.coder_lanes)
+            parent_codes, parent_count, y3 = self._jit_rec_decode(
+                {'params': params}, words, self.bits, self.compute_dtype,
+                rec_cap)
+            feats = y3.astype(self.compute_dtype)
+            for i in range(NUM_SCALES):
+                scale_child = NUM_SCALES - 1 - i
+                cand_cap = _bucket(min(int(parent_count) * 8, 8 * cap))
+                out = self._jit_decode_stage(
+                    {'params': params}, i, feats, parent_codes,
+                    parent_count, self.bits, scale_child, cand_cap,
+                    jnp.int32(targets[scale_child]),
+                    self.cfg.adaptive_pruning)
+                parent_codes, parent_count, feats = out
+            final_count = int(parent_count)
+            xyz = np.asarray(masked_decode(parent_codes, self.bits)
+                             [:final_count])
+            return xyz + offset[None]
+
         em_coder, _, dec = self._coders(params)
         with io.BytesIO(data) as bs:
             n = int.from_bytes(bs.read(4), 'little')
@@ -444,8 +777,9 @@ def sp_pad2(arr: np.ndarray, cap: int) -> np.ndarray:
     return out
 
 
-def _encode_impl(net, variables, codes, count, bits, dtype):
-    """Encoder pass -> (rounded bottleneck, bottom codes, per-scale counts)."""
+def _encoder_core(net, codes, count, bits, dtype):
+    """Bound-module encoder pass -> (bottleneck y, bottom codes, bottom
+    count, per-scale target counts)."""
     cap = codes.shape[0]
     grids = [(codes, count)]
     g = sp.VoxelGrid(codes=codes, count=count, bits=bits)
@@ -459,10 +793,32 @@ def _encode_impl(net, variables, codes, count, bits, dtype):
     feats0 = jnp.ones((cap, 1), dtype)
     pyramids = [(grids[s][0], grids[s][1], grids[s + 1][0])
                 for s in range(NUM_SCALES)]
-    y = net.apply(variables, feats0, tables, pyramids,
-                  method=LossyNet.encode_bottom).astype(jnp.float32)
+    y = net.encode_bottom(feats0, tables, pyramids).astype(jnp.float32)
     targets = jnp.stack([grids[s][1] for s in range(NUM_SCALES)])
-    return y, grids[NUM_SCALES][0], targets
+    return y, grids[NUM_SCALES][0], grids[NUM_SCALES][1], targets
+
+
+def _encode_impl(net, variables, codes, count, bits, dtype):
+    """Encoder pass -> (rounded bottleneck, bottom codes/count, targets)."""
+    return net.apply(variables, codes, count,
+                     method=lambda m, c, n: _encoder_core(m, c, n, bits, dtype))
+
+
+def _rec_encode_full(net, variables, codes, count, bits, dtype, rec_cap):
+    """lossless_based eval encode: encoder + recurrent EM + word coder."""
+    def fn(m, c, n):
+        y, codes3, count3, targets = _encoder_core(m, c, n, bits, dtype)
+        bptr, buf, ok = _rec_encode_em(m, y, codes3, count3, bits, rec_cap,
+                                       dtype)
+        return bptr, buf, ok, targets
+    return net.apply(variables, codes, count, method=fn)
+
+
+def _rec_decode_full(net, variables, stream, bits, dtype, rec_cap):
+    """lossless_based eval decode: stream -> (codes3, count3, y3)."""
+    def fn(m, s):
+        return _rec_decode_em(m, s, bits, rec_cap, dtype)
+    return net.apply(variables, stream, method=fn)
 
 
 def _decode_stage_impl(net, variables, stage_i, feats, parent_codes,

@@ -23,8 +23,23 @@ class Config(SimpleConfig):
 
     coord_bits: int = 18
     compute_dtype: str = 'bfloat16'
-    em_mode: str = 'factorized'     # 'factorized' | 'hyperprior'
-                                    # (reference init_em modes, model.py:126-192)
+    em_mode: str = 'factorized'     # 'factorized' | 'hyperprior' | 'lossless_based'
+                                    # (reference init_em modes, model.py:126-192,
+                                    #  and the recurrent lossless-based EM,
+                                    #  geo_lossl_em.py:20-400)
     hyper_channels: int = 8
     em_tail_range: int = 32
     cand_capacity_factor: int = 8   # candidate buffer = factor * parent cap
+
+    # recurrent lossless-based EM (reference: model_config.py recurrent_part_*)
+    recurrent_part_channels: int = 64
+    lossless_coord_indexes_range: Tuple[int, ...] = (8, 8, 8, 8)
+    lossless_fea_num_filters: Tuple[int, ...] = (1, 3, 3, 3, 3, 1)
+    prior_indexes_range: Tuple[int, ...] = (16, 16, 16, 16)
+    hybrid_hyper_decoder_fea: bool = False
+    bottleneck_process: str = 'noise'
+    rec_capacity_div: int = 4       # recurrent-part row capacity = cap / div
+    rec_cand_factor: int = 4        # candidate buffer = factor * rec capacity
+                                    # (all-8-children expansion; shells shrink
+                                    # ~4x per scale, not 8x)
+    coder_lanes: int = 256          # device word-coder lanes (lossless_based)

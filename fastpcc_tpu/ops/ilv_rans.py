@@ -212,6 +212,18 @@ def decode_segment(states, ptr, stream, cdfs, count):
     return states, ptr, syms_out[:cap]
 
 
+def enc_pairs(cdf_rows: jax.Array, symbols: jax.Array):
+    """Per-symbol (start, freq) uint16 pairs from CDF rows (the coder-row
+    convention: row[s] = cum count through s, row[-1] = 65535)."""
+    s = jnp.clip(symbols, 0, cdf_rows.shape[-1] - 1)
+    row = jnp.arange(cdf_rows.shape[0])
+    end = jnp.where(s == cdf_rows.shape[-1] - 1, 65536,
+                    cdf_rows[row, s].astype(jnp.int32))
+    start = jnp.where(s == 0, 0, cdf_rows[row, jnp.maximum(s - 1, 0)]
+                      .astype(jnp.int32))
+    return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
+
+
 # ----------------------------------------------------------------- host I/O
 
 def stream_to_bytes(bptr, buf, lanes: int = DEFAULT_LANES) -> bytes:
