@@ -21,13 +21,13 @@ def _act(x, name: Optional[str]):
 
 class ActM(nn.Module):
     """Configurable activation as a module (PReLU needs params)."""
-    name: Optional[str]
+    kind: Optional[str]
 
     @nn.compact
     def __call__(self, x):
-        if self.name == 'prelu':
+        if self.kind == 'prelu':
             return PReLU()(x)
-        return _act(x, self.name)
+        return _act(x, self.kind)
 
 
 @jax.custom_vjp
