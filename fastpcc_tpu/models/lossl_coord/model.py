@@ -247,12 +247,18 @@ class Model:
         batch_size = points_num.shape[0]
         pyramid = _build_pyramid(codes, count, bits, self.max_down)
         # pyramid[s-1] = (codes, count, bins, c2p, octant, syms) for scale s
-        tables = {}
+        # tables propagate top-down from one cheap search at the coarsest
+        # scale (searchsorted is ~30x slower on TPU, see PERFNOTES.md)
+        top_pc, top_cnt = pyramid[self.max_down - 1][:2]
+        tables = {self.max_down: sp.build_neighbor_table(
+            top_pc, top_cnt, bits, bits - self.max_down)}
+        for s in range(self.max_down - 1, 0, -1):
+            c2p_s, oct_s = pyramid[s][3], pyramid[s][4]
+            cnt_s = pyramid[s - 1][1]
+            tables[s] = sp.child_table_from_parent(tables[s + 1], c2p_s,
+                                                   oct_s, cnt_s)
 
         def table(s):
-            if s not in tables:
-                pc, cnt = (codes, count) if s == 0 else pyramid[s - 1][:2]
-                tables[s] = sp.build_neighbor_table(pc, cnt, bits, bits - s)
             return tables[s]
 
         def scale(s):
@@ -387,6 +393,7 @@ class Model:
                 states[s] = _ScaleState(pc, pcnt, None, bins)
                 states[s - 1].c2p = c2p
                 states[s - 1].octant = octant
+            self._thread_tables(states, top)
 
             def symbols_of(s):
                 return pyramid[s - 1][5]
@@ -513,6 +520,7 @@ class Model:
             # stored on the child state (same convention as the decode path)
             states[s - 1].c2p = c2p
             states[s - 1].octant = octant
+        self._thread_tables(states, top)
 
         def symbols_of(s):
             return pyramid[s - 1][5]
@@ -533,6 +541,16 @@ class Model:
             bs.write(k.to_bytes(4, 'little'))
             bs.write(enc.flush())
             return bs.getvalue()
+
+    def _thread_tables(self, states, top):
+        """Propagate neighbor tables top-down through the scale states
+        (one searchsorted at the coarsest scale, pure gathers below)."""
+        states[top].table = sp.build_neighbor_table(
+            states[top].codes, states[top].count, self.bits, self.bits - top)
+        for s in range(top - 1, 0, -1):
+            states[s].table = sp.child_table_from_parent(
+                states[s + 1].table, states[s].c2p, states[s].octant,
+                states[s].count)
 
     def _table(self, state: _ScaleState, s: int):
         if state.table is None:
@@ -668,6 +686,9 @@ class Model:
         st.bins = bins_f
         child = _ScaleState(child_codes, child_count, child_n)
         child.c2p, child.octant = p_of_c, oct_of_c
+        if idx > 1:   # scale-0 tables are never used
+            child.table = sp.child_table_from_parent(
+                self._table(st, idx), p_of_c, oct_of_c, child_count)
         states[idx - 1] = child
         return bins_f
 

@@ -56,6 +56,41 @@ def _rec_cap(cap: int, cfg) -> int:
     return max(cap // cfg.rec_capacity_div, 64)
 
 
+def _sep_coords(codes, bits):
+    """[N] packed codes -> [N, 3] float coords with the batch index folded
+    into x as a huge offset, so nearest-neighbor searches never cross
+    samples (distances beyond dist_upper_bound are clamped anyway)."""
+    from ...ops.morton import morton_decode
+    mask = (jnp.int64(1) << (3 * bits)) - 1
+    xyz = morton_decode(codes & mask).astype(jnp.float32)
+    batch = (codes >> (3 * bits)).astype(jnp.float32)
+    return xyz.at[:, 0].add(batch * float(2 << bits))
+
+
+def _dist_loss_target(cand_codes, cand_count, logits, true_codes, true_count,
+                      bits, upper_bound):
+    """Squared-distance regression target for the Dist reconstruction loss
+    (reference: lossy_coord/generative_upsample.py:144-166): knn(1) distance
+    to the true coords at this scale, clamped to upper_bound; where both the
+    prediction and the target exceed the bound the target follows the
+    prediction (no gradient)."""
+    from ...ops.knn import nn_distance
+    q = _sep_coords(cand_codes, bits)
+    r = _sep_coords(jnp.where(jnp.arange(true_codes.shape[0]) < true_count,
+                              true_codes, jnp.int64(0)), bits)
+    d = nn_distance(q, r, true_count)
+    pred_over = logits > upper_bound
+    tgt_over = d > upper_bound
+    d = jnp.where(~pred_over & tgt_over, upper_bound, d)
+    d = jnp.where(pred_over & tgt_over, jax.lax.stop_gradient(logits), d)
+    return d
+
+
+def _huber(x):
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 0.5 * ax * ax, ax - 0.5)
+
+
 def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
     out = np.full((cap,), (1 << 62) if fill is None else fill,
                   np.int64)
@@ -179,16 +214,23 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
     dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
 
     grids = [(codes, count)]
+    dmaps = []
     g = sp.VoxelGrid(codes=codes, count=count, bits=bits)
     for s in range(NUM_SCALES):
-        parent, _, _ = sp.downsample_with_bins(g.codes, g.count, bits,
-                                               g.stride_log2)
+        octant = (g.codes & 7).astype(jnp.int32)
+        parent, _, c2p = sp.downsample_with_bins(g.codes, g.count, bits,
+                                                 g.stride_log2)
+        dmaps.append((c2p, octant))
         grids.append((parent.codes, parent.count))
         g = parent
 
-    tables = [sp.build_neighbor_table(grids[s][0], grids[s][1], bits,
-                                      bits - s)
-              for s in range(NUM_SCALES + 1)]
+    # tables propagate top-down from one cheap coarse-scale search
+    tables = [None] * (NUM_SCALES + 1)
+    tables[NUM_SCALES] = sp.build_neighbor_table(
+        grids[NUM_SCALES][0], grids[NUM_SCALES][1], bits, bits - NUM_SCALES)
+    for s in range(NUM_SCALES - 1, -1, -1):
+        tables[s] = sp.child_table_from_parent(tables[s + 1], *dmaps[s],
+                                               grids[s][1])
 
     feats0 = jnp.ones((cap, 1), dtype)
     pyramids = [(grids[s][0], grids[s][1], grids[s + 1][0])
@@ -206,6 +248,7 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
 
     feats = (y_tilde * valid_bottom[:, None]).astype(dtype)
     parent_codes, parent_count = grids[NUM_SCALES]
+    parent_table = tables[NUM_SCALES]
     cand_cap = cap * 2
     bce_total = 0.0
     for i in range(NUM_SCALES):
@@ -219,22 +262,35 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
         flat = child_dense.reshape(pcap * 8, -1)
         flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], 0)
         cand_feats = flat[jnp.minimum(p_of_c * 8 + oct_of_c, pcap * 8)]
-        cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
-                                             bits - scale_child)
+        cand_table = sp.child_table_from_parent(parent_table, p_of_c,
+                                                oct_of_c, cand.count)
         refined, logits = net.dec_classify(i, cand_feats, cand_table)
         logits = logits.astype(jnp.float32)
         target = sp.membership_mask(cand.codes, grids[scale_child][0],
                                     grids[scale_child][1])
         cand_valid = jnp.arange(cand_cap) < cand.count
-        bce = _bce(logits, target.astype(jnp.float32))
-        bce_total = bce_total + (bce * cand_valid).sum() / total_points
+        if cfg.coord_recon_loss_type == 'Dist':
+            d_tgt = _dist_loss_target(cand.codes, cand.count, logits,
+                                      grids[scale_child][0],
+                                      grids[scale_child][1], bits,
+                                      cfg.dist_upper_bound)
+            per_cand = _huber(logits - d_tgt)
+            keep_now = target | (logits <= 0.5)
+        else:
+            per_cand = _bce(logits, target.astype(jnp.float32))
+            keep_now = target | (logits > 0)
+        # reference normalizes per-candidate mean per scale
+        # (reference: lossy_coord/model.py:501-526)
+        bce_total = bce_total + (per_cand * cand_valid).sum() \
+            / jnp.maximum(cand.count, 1) / NUM_SCALES
 
         if i < NUM_SCALES - 1:
-            keep = (target | (logits > 0)) & cand_valid
+            keep = keep_now & cand_valid
             new_codes, new_count, gather_idx = sp.mask_compact(
                 cand.codes, keep, cand_cap)
             feats = sp.gather_padded(refined, gather_idx)
             parent_codes, parent_count = new_codes, new_count
+            parent_table = sp.compact_table(cand_table, gather_idx, new_count)
 
     bpp = em_bits / total_points
     warmup = jnp.where(jnp.asarray(step) < cfg.warmup_steps,
@@ -268,17 +324,18 @@ def _rec_pyramid(net, codes3, count3, bits):
     top = net.cfg.coord_bits
     scales = {NUM_SCALES: (codes3, count3)}
     maps, tables = {}, {}
-    tables[NUM_SCALES] = sp.build_neighbor_table(
-        codes3, count3, bits, bits - NUM_SCALES)
     g = (codes3, count3)
     for s in range(NUM_SCALES, top):
         octant = (g[0] & 7).astype(jnp.int32)
         parent, _, c2p = sp.downsample_with_bins(g[0], g[1], bits, 0)
         maps[s] = (c2p, octant)
         scales[s + 1] = (parent.codes, parent.count)
-        tables[s + 1] = sp.build_neighbor_table(
-            parent.codes, parent.count, bits, bits - (s + 1))
         g = (parent.codes, parent.count)
+    # tables propagate top-down from one cheap coarse-scale search
+    tables[top] = sp.build_neighbor_table(*scales[top], bits, bits - top)
+    for s in range(top - 1, NUM_SCALES - 1, -1):
+        tables[s] = sp.child_table_from_parent(tables[s + 1], *maps[s],
+                                               scales[s][1])
     return scales, maps, tables
 
 
@@ -298,8 +355,9 @@ def _rec_encoder_pass(net, y_r, scales, tables, bits, dtype):
     return hx_list
 
 
-def _rec_coord_nn(net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s,
-                  dtype):  # cand_cap = rec_cap * cfg.rec_cand_factor
+def _rec_coord_nn(net, i, lower, codes_sp1, count_sp1, parent_table,
+                  cand_cap, bits, s, dtype):
+    # cand_cap = rec_cap * cfg.rec_cand_factor
     """Hyper-decode candidate-occupancy indexes at all 8 children of scale
     s+1 (reference: geo_lossl_em.py:117-122)."""
     dense8 = net.em.hd_coord_up(i, lower.astype(dtype))
@@ -308,10 +366,10 @@ def _rec_coord_nn(net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s,
     cand, p_of_c, oct_of_c = sp.expand_children(
         codes_sp1, count_sp1, all8, bits, cand_cap)
     cand_feats = _octant_gather(dense8, p_of_c, oct_of_c)
-    cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
-                                         bits - s)
+    cand_table = sp.child_table_from_parent(parent_table, p_of_c, oct_of_c,
+                                            cand.count)
     idx_coord = net.em.hd_coord_refine(i, cand_feats, cand_table)
-    return cand, p_of_c, oct_of_c, idx_coord
+    return cand, p_of_c, oct_of_c, idx_coord, cand_table
 
 
 def _rec_fea_nn(net, i, lower, c2p_s, oct_s, table_s, dtype):
@@ -345,8 +403,8 @@ def _rec_em_train(net, y, codes3, count3, bits, rng, rec_cap, dtype):
         s = NUM_SCALES + i
         codes_s, count_s = scales[s]
         codes_sp1, count_sp1 = scales[s + 1]
-        cand, _, _, idx_coord = _rec_coord_nn(
-            net, i, lower, codes_sp1, count_sp1,
+        cand, _, _, idx_coord, _ = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1, tables[s + 1],
             rec_cap * net.cfg.rec_cand_factor, bits, s, dtype)
         target = sp.membership_mask(cand.codes, codes_s, count_s)
         cand_valid = (jnp.arange(cand.codes.shape[0]) < cand.count) \
@@ -403,8 +461,9 @@ def _rec_encode_em(net, y, codes3, count3, bits, rec_cap, dtype):
         codes_s, count_s = scales[s]
         codes_sp1, count_sp1 = scales[s + 1]
         cand_cap = rec_cap * cfg.rec_cand_factor
-        cand, _, _, idx_coord = _rec_coord_nn(
-            net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s, dtype)
+        cand, _, _, idx_coord, _ = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1, tables[s + 1], cand_cap,
+            bits, s, dtype)
         ok = ok & (count_sp1 * 8 <= cand_cap)
         mask = sp.membership_mask(cand.codes, codes_s, count_s)
         rows_c = coord_table[net.em.coord_flat(idx_coord)]
@@ -452,14 +511,16 @@ def _rec_decode_em(net, stream, bits, rec_cap, dtype):
     codes_sp1 = jnp.where(jnp.arange(rec_cap) < 1, jnp.int64(0),
                           jnp.int64(1) << 62)
     count_sp1 = count_b
+    cur_table = sp.build_neighbor_table(codes_sp1, count_sp1, bits, bits - top)
 
     codes_s = codes_sp1
     count_s = count_sp1
     for i in range(steps - 1, -1, -1):
         s = NUM_SCALES + i
         cand_cap = rec_cap * cfg.rec_cand_factor
-        cand, p_of_c, oct_of_c, idx_coord = _rec_coord_nn(
-            net, i, lower, codes_sp1, count_sp1, cand_cap, bits, s, dtype)
+        cand, p_of_c, oct_of_c, idx_coord, cand_table = _rec_coord_nn(
+            net, i, lower, codes_sp1, count_sp1, cur_table, cand_cap, bits,
+            s, dtype)
         rows_c = coord_table[net.em.coord_flat(idx_coord)]
         rs, ptr, msyms = ir.decode_segment(rs, ptr, stream, rows_c, cand.count)
         keep = msyms.astype(bool) & (jnp.arange(cand_cap) < cand.count)
@@ -469,7 +530,7 @@ def _rec_decode_em(net, stream, bits, rec_cap, dtype):
         o_pad = jnp.concatenate([oct_of_c, jnp.zeros((1,), jnp.int32)])
         c2p_s = p_pad[jnp.minimum(gidx, cand_cap)]
         oct_s = o_pad[jnp.minimum(gidx, cand_cap)]
-        table_s = sp.build_neighbor_table(codes_s, count_s, bits, bits - s)
+        table_s = sp.compact_table(cand_table, gidx, count_s)
         pred, idx_f = _rec_fea_nn(net, i, lower, c2p_s, oct_s, table_s, dtype)
         rows_f = fea_table[net.em.fea_flat(idx_f).reshape(-1)]
         rs, ptr, syms = ir.decode_segment(rs, ptr, stream, rows_f,
@@ -478,6 +539,7 @@ def _rec_decode_em(net, stream, bits, rec_cap, dtype):
         valid_s = (jnp.arange(rec_cap) < count_s).astype(jnp.float32)
         lower = (y + pred if pred is not None else y) * valid_s[:, None]
         codes_sp1, count_sp1 = codes_s, count_s
+        cur_table = table_s
     return codes_s, count_s, lower
 
 
@@ -530,6 +592,31 @@ def simple_keep_mask(cand_codes, cand_count, logits, levels: int):
     return ((logits > 0) & valid) | is_lmax
 
 
+@functools.partial(jax.jit, static_argnames=('levels',))
+def adaptive_keep_mask_dist(cand_codes, cand_count, logits, target_num,
+                            levels: int):
+    """Dist branch (reference: generative_upsample.py:100-119): SMALLER
+    predicted distance = keep; threshold = k-th smallest over all candidates
+    with k = target - n_local_max; cell maxima unioned in (the reference
+    keeps the pooled representative of every cell)."""
+    n = cand_codes.shape[0]
+    is_lmax = _local_max_mask(cand_codes, cand_count, logits, levels)
+    valid = jnp.arange(n) < cand_count
+    n_lmax = (is_lmax & valid).sum()
+    vals = jnp.where(valid, logits, jnp.inf)
+    order = jnp.sort(vals)
+    k = jnp.clip(target_num - n_lmax, 1, n) - 1
+    threshold = order[k]
+    return ((logits <= threshold) & valid) | is_lmax
+
+
+@functools.partial(jax.jit, static_argnames=('levels',))
+def simple_keep_mask_dist(cand_codes, cand_count, logits, levels: int):
+    is_lmax = _local_max_mask(cand_codes, cand_count, logits, levels)
+    valid = jnp.arange(cand_codes.shape[0]) < cand_count
+    return ((logits <= 0.5) & valid) | is_lmax
+
+
 # --------------------------------------------------------------------------
 
 
@@ -552,7 +639,7 @@ class Model:
             static_argnums=(3, 4))
         self._jit_decode_stage = jax.jit(
             functools.partial(_decode_stage_impl, self.net),
-            static_argnums=(1, 5, 6, 7, 9))
+            static_argnums=(1, 6, 7, 8, 10))
         self._jit_rec_encode = jax.jit(
             functools.partial(_rec_encode_full, self.net),
             static_argnums=(3, 4, 5))
@@ -715,15 +802,18 @@ class Model:
                 {'params': params}, words, self.bits, self.compute_dtype,
                 rec_cap)
             feats = y3.astype(self.compute_dtype)
+            parent_table = sp.build_neighbor_table(
+                parent_codes, parent_count, self.bits,
+                self.bits - NUM_SCALES)
             for i in range(NUM_SCALES):
                 scale_child = NUM_SCALES - 1 - i
                 cand_cap = _bucket(min(int(parent_count) * 8, 8 * cap))
                 out = self._jit_decode_stage(
                     {'params': params}, i, feats, parent_codes,
-                    parent_count, self.bits, scale_child, cand_cap,
-                    jnp.int32(targets[scale_child]),
+                    parent_count, parent_table, self.bits, scale_child,
+                    cand_cap, jnp.int32(targets[scale_child]),
                     self.cfg.adaptive_pruning)
-                parent_codes, parent_count, feats = out
+                parent_codes, parent_count, feats, parent_table = out
             final_count = int(parent_count)
             xyz = np.asarray(masked_decode(parent_codes, self.bits)
                              [:final_count])
@@ -757,15 +847,17 @@ class Model:
         feats = jnp.asarray(
             sp_pad2(y_int.astype(np.float32), cap)).astype(self.compute_dtype)
 
+        parent_table = sp.build_neighbor_table(
+            parent_codes, parent_count, self.bits, self.bits - NUM_SCALES)
         for i in range(NUM_SCALES):
             scale_child = NUM_SCALES - 1 - i
             cand_cap = _bucket(min(int(parent_count) * 8, 8 * cap))
             out = self._jit_decode_stage(
                 {'params': params}, i, feats, parent_codes,
-                parent_count, self.bits, scale_child, cand_cap,
-                jnp.int32(targets[scale_child]),
+                parent_count, parent_table, self.bits, scale_child,
+                cand_cap, jnp.int32(targets[scale_child]),
                 self.cfg.adaptive_pruning)
-            parent_codes, parent_count, feats = out
+            parent_codes, parent_count, feats, parent_table = out
         final_count = int(parent_count)
         xyz = np.asarray(masked_decode(parent_codes, self.bits)[:final_count])
         return xyz + offset[None]
@@ -782,14 +874,21 @@ def _encoder_core(net, codes, count, bits, dtype):
     count, per-scale target counts)."""
     cap = codes.shape[0]
     grids = [(codes, count)]
+    dmaps = []
     g = sp.VoxelGrid(codes=codes, count=count, bits=bits)
     for s in range(NUM_SCALES):
-        parent, _, _ = sp.downsample_with_bins(g.codes, g.count, bits,
-                                               g.stride_log2)
+        octant = (g.codes & 7).astype(jnp.int32)
+        parent, _, c2p = sp.downsample_with_bins(g.codes, g.count, bits,
+                                                 g.stride_log2)
+        dmaps.append((c2p, octant))
         grids.append((parent.codes, parent.count))
         g = parent
-    tables = [sp.build_neighbor_table(grids[s][0], grids[s][1], bits, bits - s)
-              for s in range(NUM_SCALES + 1)]
+    tables = [None] * (NUM_SCALES + 1)
+    tables[NUM_SCALES] = sp.build_neighbor_table(
+        grids[NUM_SCALES][0], grids[NUM_SCALES][1], bits, bits - NUM_SCALES)
+    for s in range(NUM_SCALES - 1, -1, -1):
+        tables[s] = sp.child_table_from_parent(tables[s + 1], *dmaps[s],
+                                               grids[s][1])
     feats0 = jnp.ones((cap, 1), dtype)
     pyramids = [(grids[s][0], grids[s][1], grids[s + 1][0])
                 for s in range(NUM_SCALES)]
@@ -822,8 +921,8 @@ def _rec_decode_full(net, variables, stream, bits, dtype, rec_cap):
 
 
 def _decode_stage_impl(net, variables, stage_i, feats, parent_codes,
-                       parent_count, bits, scale_child, cand_cap, target_num,
-                       adaptive):
+                       parent_count, parent_table, bits, scale_child,
+                       cand_cap, target_num, adaptive):
     child_dense = net.apply(variables, stage_i, feats,
                             method=LossyNet.dec_child_feats)
     pcap = parent_codes.shape[0]
@@ -834,18 +933,21 @@ def _decode_stage_impl(net, variables, stage_i, feats, parent_codes,
     flat = child_dense.reshape(pcap * 8, -1)
     flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], 0)
     cand_feats = flat[jnp.minimum(p_of_c * 8 + oct_of_c, pcap * 8)]
-    cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
-                                         bits - scale_child)
+    cand_table = sp.child_table_from_parent(parent_table, p_of_c, oct_of_c,
+                                            cand.count)
     refined, logits = net.apply(variables, stage_i, cand_feats, cand_table,
                                 method=LossyNet.dec_classify)
     logits = logits.astype(jnp.float32)
     levels = NUM_SCALES - scale_child
+    dist = net.cfg.coord_recon_loss_type == 'Dist'
     if adaptive:
-        keep = adaptive_keep_mask(cand.codes, cand.count, logits, target_num,
-                                  levels)
+        km = adaptive_keep_mask_dist if dist else adaptive_keep_mask
+        keep = km(cand.codes, cand.count, logits, target_num, levels)
     else:
-        keep = simple_keep_mask(cand.codes, cand.count, logits, levels)
+        km = simple_keep_mask_dist if dist else simple_keep_mask
+        keep = km(cand.codes, cand.count, logits, levels)
     new_codes, new_count, gather_idx = sp.mask_compact(cand.codes, keep,
                                                        cand_cap)
     new_feats = sp.gather_padded(refined, gather_idx)
-    return new_codes, new_count, new_feats
+    new_table = sp.compact_table(cand_table, gather_idx, new_count)
+    return new_codes, new_count, new_feats, new_table

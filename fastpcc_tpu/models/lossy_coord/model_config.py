@@ -13,7 +13,8 @@ class Config(SimpleConfig):
     compressed_channels: int = 8
     encoder_channels: Tuple[int, ...] = (4, 16, 64, 64)
     decoder_channels: Tuple[int, ...] = (64, 16, 4)
-    coord_recon_loss_type: str = 'BCE'
+    coord_recon_loss_type: str = 'BCE'   # 'BCE' | 'Dist' (knn sq-dist regression)
+    dist_upper_bound: float = 2.0
     coord_recon_loss_factor: float = 1.0
     adaptive_pruning: bool = True
     adaptive_pruning_num_scaler: float = 1.0

@@ -102,7 +102,6 @@ def _pyramid(codes, count, bits, cap, top_scale, cfg):
     counts within their static caps."""
     grids = {0: (codes, count)}
     maps, tables = {}, {}
-    tables[0] = sp.build_neighbor_table(codes, count, bits, bits)
     g = (codes, count)
     fits = jnp.bool_(True)
     for s in range(top_scale):
@@ -114,9 +113,13 @@ def _pyramid(codes, count, bits, cap, top_scale, cfg):
         pcount = jnp.minimum(parent.count, nxt_cap)
         maps[s] = (c2p, octant)
         grids[s + 1] = (pcodes, pcount)
-        tables[s + 1] = sp.build_neighbor_table(pcodes, pcount, bits,
-                                                bits - (s + 1))
         g = (pcodes, pcount)
+    # tables propagate top-down from one cheap coarse-scale search
+    tables[top_scale] = sp.build_neighbor_table(*grids[top_scale], bits,
+                                                bits - top_scale)
+    for s in range(top_scale - 1, -1, -1):
+        tables[s] = sp.child_table_from_parent(tables[s + 1], *maps[s],
+                                               grids[s][1])
     return grids, maps, tables, fits
 
 
@@ -128,14 +131,17 @@ def _geo_scale_of(cfg) -> List[int]:
     return out
 
 
-def _encoder_pass(net, codes, count, bits, cap, dtype, cfg):
+def _encoder_pass(net, codes, count, bits, cap, dtype, cfg, feats0=None):
     """Normal encoder + geo encoder -> (grids, maps, tables, strided feas,
-    bottom fea, targets)."""
+    bottom fea, targets). feats0 defaults to ones (the color model passes
+    [rgb/255, 2] features, reference: lossy_coord_lossy_color/model.py:151-158)."""
     scale_of = _geo_scale_of(cfg)
     top = scale_of[-1]
     grids, maps, tables, fits = _pyramid(codes, count, bits, cap, top, cfg)
     e = len(cfg.encoder_channels) - 1
-    x = net.first(jnp.ones((cap, 1), dtype), tables[0])
+    if feats0 is None:
+        feats0 = jnp.ones((cap, 1), dtype)
+    x = net.first(feats0, tables[0])
     targets = []
     for i, stage in enumerate(net.enc_stages):
         targets.append(grids[i][1])
@@ -171,7 +177,8 @@ def _fea_pred(net, i, lower, up, grids, maps, tables, s_low, s_tgt, bits,
     return hd.refine(feats, tables[s_tgt])
 
 
-def _coord_logits(net, i, lower, grids, bits, s_tgt, cand_cap, tables, cfg):
+def _coord_logits(net, i, lower, grids, bits, s_tgt, cand_cap, parent_table,
+                  cfg):
     """All-8 candidate occupancy logits from lower (at s_tgt + 1)."""
     hd = net.hd_coord[i]
     codes_p, count_p = grids[s_tgt + 1]
@@ -181,10 +188,10 @@ def _coord_logits(net, i, lower, grids, bits, s_tgt, cand_cap, tables, cfg):
     cand, p_of_c, oct_of_c = sp.expand_children(codes_p, count_p, all8, bits,
                                                 cand_cap)
     cand_feats = _octant_gather(dense, p_of_c, oct_of_c)
-    cand_table = sp.build_neighbor_table(cand.codes, cand.count, bits,
-                                         bits - s_tgt)
+    cand_table = sp.child_table_from_parent(parent_table, p_of_c, oct_of_c,
+                                            cand.count)
     logits = hd.refine(cand_feats, cand_table)
-    return cand, p_of_c, oct_of_c, logits
+    return cand, p_of_c, oct_of_c, logits, cand_table
 
 
 def _train_apply(net: V2Net, codes, count, points_num, rng, step):
@@ -213,8 +220,9 @@ def _train_apply(net: V2Net, codes, count, points_num, rng, step):
         up = bool(cfg.geo_lossl_if_sample[i])
         if up:
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
-            cand, _, _, logits = _coord_logits(net, i, lower, grids, bits,
-                                               s_tgt, cand_cap, tables, cfg)
+            cand, _, _, logits, _ = _coord_logits(
+                net, i, lower, grids, bits, s_tgt, cand_cap,
+                tables[s_tgt + 1], cfg)
             tgt = sp.membership_mask(cand.codes, *grids[s_tgt])
             cand_valid = jnp.arange(cand_cap) < cand.count
             loss[f'coord_{i}_bits'] = (_bce(logits, tgt.astype(jnp.float32))
@@ -289,7 +297,7 @@ def _binary_rows(logits):
     return rows.astype(jnp.uint16)
 
 
-def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg):
+def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg, feats0=None):
     """Traced eval encode -> (bptr, buf, res_cdf_row, res_offset_ok...,
     bottom coords, bottom count, targets, ok)."""
     scale_of = _geo_scale_of(cfg)
@@ -299,7 +307,7 @@ def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg):
     alpha = 2 * bound + 1
 
     grids, maps, tables, strided, bottom, targets, fits = _encoder_pass(
-        net, codes, count, bits, cap, dtype, cfg)
+        net, codes, count, bits, cap, dtype, cfg, feats0)
     ok = fits
     s_b = scale_of[-1]
     count_b = grids[s_b][1]
@@ -323,8 +331,9 @@ def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg):
         up = bool(cfg.geo_lossl_if_sample[i])
         if up:
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
-            cand, _, _, logits = _coord_logits(net, i, lower, grids, bits,
-                                               s_tgt, cand_cap, tables, cfg)
+            cand, _, _, logits, _ = _coord_logits(
+                net, i, lower, grids, bits, s_tgt, cand_cap,
+                tables[s_tgt + 1], cfg)
             mask = sp.membership_mask(cand.codes, *grids[s_tgt])
             coord_rows[i] = _binary_rows(logits)
             coord_syms[i] = (mask.astype(jnp.int32), cand.count)
@@ -404,6 +413,8 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
     lower = (syms_b.reshape(cap_b, c_b).astype(jnp.float32) - bound) \
         * valid_b[:, None]
     codes_cur, count_cur = bottom_codes, bottom_count
+    cur_table = sp.build_neighbor_table(codes_cur, count_cur, bits,
+                                        bits - scale_of[-1])
 
     for i in range(steps - 1, -1, -1):
         s_tgt = scale_of[i]
@@ -411,8 +422,9 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
         grids_i = {s_tgt + 1: (codes_cur, count_cur)}
         if up:
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
-            cand, p_of_c, oct_of_c, logits = _coord_logits(
-                net, i, lower, grids_i, bits, s_tgt, cand_cap, None, cfg)
+            cand, p_of_c, oct_of_c, logits, cand_table = _coord_logits(
+                net, i, lower, grids_i, bits, s_tgt, cand_cap, cur_table,
+                cfg)
             rows_c = _binary_rows(logits)
             rs, ptr, msyms = ir.decode_segment(rs, ptr, stream, rows_c,
                                                cand.count)
@@ -426,11 +438,11 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
             o_pad = jnp.concatenate([oct_of_c, jnp.zeros((1,), jnp.int32)])
             c2p_t = p_pad[jnp.minimum(gidx, cand_cap)]
             oct_t = o_pad[jnp.minimum(gidx, cand_cap)]
+            table_t = sp.compact_table(cand_table, gidx, count_t)
         else:
             codes_t, count_t = codes_cur, count_cur
             c2p_t = oct_t = None
-        table_t = sp.build_neighbor_table(codes_t, count_t, bits,
-                                          bits - s_tgt)
+            table_t = cur_table
         hd = net.hd_fea[i]
         if up:
             dense = hd.up_dense(lower.astype(jnp.float32))
@@ -453,6 +465,7 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
             lower = net.dec_blocks[i](None, pred)
         lower = lower * valid_t[:, None]
         codes_cur, count_cur = codes_t, count_t
+        cur_table = table_t
     return codes_cur, count_cur, lower
 
 

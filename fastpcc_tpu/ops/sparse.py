@@ -206,6 +206,87 @@ def build_neighbor_table(codes: jax.Array, count: jax.Array, bits: int,
     return table
 
 
+@functools.lru_cache(maxsize=None)
+def _octant_offset_luts():
+    """Static LUTs for parent-propagated neighbor tables.
+
+    For a child at octant o of its parent, its 3^3 neighbor at offset d lives
+    at octant OSUB[o, j] of the parent's neighbor POFF[o, j] (j indexes
+    _OFFSETS_3X3): with per-axis child coord c = 2P + o,  c + d = 2(P + Δ) + o'
+    where Δ = floor((o + d) / 2) ∈ {-1,0,1} and o' = (o + d) mod 2."""
+    import numpy as np
+    from .morton import np_morton_encode
+    # discover the morton bit-axis convention from the encoder itself
+    axis_bit = [int(np_morton_encode(np.eye(3, dtype=np.int64)[i:i + 1])[0])
+                for i in range(3)]   # bit value of x, y, z at level 0
+    off_index = {d: j for j, d in enumerate(_OFFSETS_3X3)}
+    poff = np.zeros((8, 27), np.int32)
+    osub = np.zeros((8, 27), np.int32)
+    for o in range(8):
+        oxyz = [int(bool(o & axis_bit[i])) for i in range(3)]
+        for j, d in enumerate(_OFFSETS_3X3):
+            t = [oxyz[i] + d[i] for i in range(3)]
+            delta = tuple(ti // 2 if ti >= 0 else -1 for ti in t)
+            sub = [ti % 2 for ti in t]
+            poff[o, j] = off_index[delta]
+            osub[o, j] = sum(axis_bit[i] * sub[i] for i in range(3))
+    return poff, osub
+
+
+@functools.partial(jax.jit, static_argnames=())
+def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
+                            octant: jax.Array, child_count: jax.Array):
+    """Neighbor table at a child scale from the parent scale's table.
+
+    parent_table:    [M, 27] (misses = M)
+    child_to_parent: [N] parent row of each child (garbage past child_count)
+    octant:          [N] child octant (code & 7)
+    -> [N, 27] child neighbor rows (misses/invalid = N)
+
+    Pure gathers — replaces the 27-way binary search whose 17 x [N*27]
+    gather iterations dominated whole-frame time (1.9 s vs ~5 ms at 131k
+    rows on v5e; see PERFNOTES.md round 2)."""
+    m = parent_table.shape[0]
+    n = child_to_parent.shape[0]
+    poff_np, osub_np = _octant_offset_luts()
+    poff = jnp.asarray(poff_np)
+    osub = jnp.asarray(osub_np)
+    valid = jnp.arange(n) < child_count
+    # child row of (parent row, octant); miss -> n
+    scatter_idx = jnp.where(valid, child_to_parent * 8 + octant, m * 8)
+    row_map = jnp.full((m * 8,), n, jnp.int32).at[scatter_idx].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    p = jnp.minimum(child_to_parent, m)
+    oct_c = jnp.clip(octant, 0, 7)
+    pt_ext = jnp.concatenate([parent_table, jnp.full((1, 27), m, jnp.int32)],
+                             axis=0)
+    pn = pt_ext[p[:, None], poff[oct_c]]                  # [N, 27] parent rows
+    slot = jnp.minimum(pn, m - 1) * 8 + osub[oct_c]
+    rows = jnp.where(pn >= m, n, row_map[slot])
+    return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
+
+
+@jax.jit
+def compact_table(table: jax.Array, gather_idx: jax.Array,
+                  new_count: jax.Array) -> jax.Array:
+    """Neighbor table for a mask_compact-ed subset of rows.
+
+    table:      [N_old, 27] with misses = N_old
+    gather_idx: [N_new_cap] old row of each new row (mask_compact output)
+    -> [N_new_cap, 27] with misses = N_new_cap. Pruned neighbors become
+    misses; no search needed."""
+    n_old = table.shape[0]
+    n_new = gather_idx.shape[0]
+    valid = jnp.arange(n_new) < new_count
+    scatter_idx = jnp.where(valid, gather_idx, n_old + 1)
+    remap = jnp.full((n_old + 2,), n_new, jnp.int32).at[scatter_idx].set(
+        jnp.arange(n_new, dtype=jnp.int32), mode='drop')
+    old_rows = table[jnp.minimum(gather_idx, n_old)]        # [N_new, 27]
+    rows = remap[jnp.minimum(old_rows, n_old)]
+    rows = jnp.where(old_rows >= n_old, n_new, rows)
+    return jnp.where(valid[:, None], rows, n_new).astype(jnp.int32)
+
+
 def gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather rows with idx == feats.shape[0] mapping to zeros."""
     padded = jnp.concatenate([feats, jnp.zeros_like(feats[:1])], axis=0)

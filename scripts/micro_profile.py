@@ -119,3 +119,28 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+def extra():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fastpcc_tpu.ops import sparse as sp
+    rng = np.random.default_rng(0)
+    n, bits = 131072, 16
+    codes_np = np.sort(rng.choice(1 << 40, size=n, replace=False)).astype(np.int64)
+    codes = jnp.asarray(codes_np); count = jnp.int32(n)
+    parent, bins, c2p = sp.downsample_with_bins(codes, count, bits, 0)
+    octant = (codes & 7).astype(jnp.int32)
+    ptab = sp.build_neighbor_table(parent.codes, parent.count, bits, bits - 1)
+    jax.block_until_ready((ptab, c2p, octant))
+    f = jax.jit(lambda pt, cp, oc, n_: sp.child_table_from_parent(pt, cp, oc, n_))
+    ms, c = trace_ms(f, ptab, c2p, octant, count)
+    print(f'child_table_from_parent {n}: {ms:.2f} ms/exec ({c} execs)')
+    tab = f(ptab, c2p, octant, count)
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    g = jax.jit(lambda t, gi, nc: sp.compact_table(t, gi, nc))
+    ms, c = trace_ms(g, tab, gidx, jnp.int32(n // 2))
+    print(f'compact_table {n}: {ms:.2f} ms/exec ({c} execs)')
+
+if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'extra':
+    extra()

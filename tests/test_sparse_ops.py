@@ -199,3 +199,33 @@ def test_gather_padded_zero_row():
     out = gather_padded(feats, jnp.asarray([0, 4, 2]))
     np.testing.assert_array_equal(np.asarray(out),
                                   [[1, 1], [0, 0], [1, 1]])
+
+
+def test_child_table_from_parent_matches_search():
+    """Parent-propagated neighbor tables must equal the searchsorted ones
+    (including range-boundary misses and batch separation)."""
+    import numpy as np
+    from fastpcc_tpu.ops import sparse as sp
+    from fastpcc_tpu.ops.morton import np_morton_encode
+    rng = np.random.default_rng(0)
+    bits, scale_bits = 8, 5     # child scale: coords < 2^5
+    cap = 1024
+    for trial in range(3):
+        xyz = rng.integers(0, 1 << scale_bits, size=(600, 3)).astype(np.int64)
+        batch = rng.integers(0, 2, size=(600,)).astype(np.int64)
+        codes = np.unique((batch << (3 * bits))
+                          | np_morton_encode(xyz << (bits - scale_bits))
+                          >> (3 * (bits - scale_bits))
+                          | (batch << (3 * bits)))
+        codes = np.unique((batch << (3 * bits)) | np_morton_encode(xyz))
+        n = len(codes)
+        codes_j = jnp.asarray(np.pad(codes, (0, cap - n),
+                                     constant_values=1 << 62))
+        count = jnp.int32(n)
+        parent, bins, c2p = sp.downsample_with_bins(codes_j, count, bits, 0)
+        octant = (codes_j & 7).astype(jnp.int32)
+        parent_table = sp.build_neighbor_table(parent.codes, parent.count,
+                                               bits, scale_bits - 1)
+        fast = sp.child_table_from_parent(parent_table, c2p, octant, count)
+        ref = sp.build_neighbor_table(codes_j, count, bits, scale_bits)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
