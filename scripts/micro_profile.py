@@ -144,3 +144,37 @@ def extra():
 
 if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'extra':
     extra()
+
+def conv_variants():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from fastpcc_tpu.ops import sparse as sp
+    rng = np.random.default_rng(0)
+    n, ch = 131072, 128
+    codes_np = np.sort(rng.choice(1 << 40, size=n, replace=False)).astype(np.int64)
+    codes = jnp.asarray(codes_np); count = jnp.int32(n)
+    table = sp.build_neighbor_table(codes, count, 16, 16)
+    feats = jnp.asarray(rng.normal(size=(n, ch)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray((rng.normal(size=(27, ch, ch)) * 0.01).astype(np.float32)).astype(jnp.bfloat16)
+    jax.block_until_ready((table, feats, w))
+    gflop = 2 * n * 27 * ch * ch / 1e9
+
+    f1 = jax.jit(lambda ft, tb, ww: sp.sparse_conv_apply(ft, tb, ww, row_chunk=1 << 30))
+    ms, c = trace_ms(f1, feats, table, w)
+    print(f'conv single-pass: {ms:.2f} ms ({gflop/ms:.1f} TFLOPs)')
+
+    def conv_onehotfree(ft, tb, ww):
+        padded = jnp.concatenate([ft, jnp.zeros((1, ch), ft.dtype)], 0)
+        acc = None
+        for t in range(27):
+            g = padded[tb[:, t]]
+            o = g @ ww[t]
+            acc = o if acc is None else acc + o
+        return acc
+    f2 = jax.jit(conv_onehotfree)
+    ms, c = trace_ms(f2, feats, table, w)
+    print(f'conv 27 per-tap gathers: {ms:.2f} ms ({gflop/ms:.1f} TFLOPs)')
+
+if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'convv':
+    conv_variants()
