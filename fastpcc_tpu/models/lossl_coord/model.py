@@ -542,6 +542,23 @@ class Model:
             bs.write(enc.flush())
             return bs.getvalue()
 
+    # NN step hooks — overridden by the integer model
+    # (fastpcc_tpu/models/lossl_coord_int) for integer-only decode.
+    def _init_feats(self, cap: int):
+        return jnp.ones((cap, 1), self.compute_dtype)
+
+    def _nn_logits(self, mod, p, feats, table):
+        return _osp_logits(self.cfg.channels, mod.if_upsample,
+                           mod.allow_single_ch, p, feats, table)
+
+    def _nn_upsample(self, mod, p, dec_feats, bins, table, c2p, octant):
+        return _osp_upsample(self.cfg.channels, mod.if_upsample,
+                             mod.allow_single_ch, p, dec_feats, bins, table,
+                             c2p, octant)
+
+    def _nn_cdf(self, logits):
+        return _cdf_rows(logits)
+
     def _thread_tables(self, states, top):
         """Propagate neighbor tables top-down through the scale states
         (one searchsorted at the coarsest scale, pure gathers below)."""
@@ -570,7 +587,7 @@ class Model:
         symbols come from the rANS stream and child scales are expanded."""
         ch = self.cfg.channels
         cap = states[top].codes.shape[0]
-        feats = jnp.ones((cap, 1), self.compute_dtype)
+        feats = self._init_feats(cap)
         collected = []
         for idx in range(top, 0, -1):
             if not self.cfg.feature_propagation:
@@ -579,9 +596,8 @@ class Model:
             p = params[name]
             if isinstance(mod, OneScalePredictor):
                 t0 = time.perf_counter()
-                dec_feats, logits = _osp_logits(
-                    ch, mod.if_upsample, mod.allow_single_ch, p, feats,
-                    self._table(states[idx], idx))
+                dec_feats, logits = self._nn_logits(
+                    mod, p, feats, self._table(states[idx], idx))
                 if self.profile:
                     jax.block_until_ready(logits)
                 self._prof('nn_logits', t0)
@@ -589,9 +605,9 @@ class Model:
                                         decode_scale, collected)
                 t0 = time.perf_counter()
                 if mod.if_upsample and idx != 1:
-                    feats = _osp_upsample(
-                        ch, mod.if_upsample, mod.allow_single_ch, p, dec_feats,
-                        bins, self._table(states[idx], idx),
+                    feats = self._nn_upsample(
+                        mod, p, dec_feats, bins,
+                        self._table(states[idx], idx),
                         states[idx - 1].c2p, states[idx - 1].octant)
                 else:
                     feats = dec_feats
@@ -636,7 +652,7 @@ class Model:
         bins + expanded child scale (decode). Returns the bins at scale idx."""
         st = states[idx]
         t0 = time.perf_counter()
-        cdfs = _cdf_rows(logits)
+        cdfs = self._nn_cdf(logits)
         if self.profile:
             jax.block_until_ready(cdfs)
         self._prof('cdf_rows', t0)

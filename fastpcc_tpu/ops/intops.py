@@ -52,8 +52,10 @@ def requant(acc: jax.Array, mul: jax.Array, shift: jax.Array,
     """Rounded fixed-point rescale: (acc * mul + 2^(shift-1)) >> shift,
     clamped to the output dtype (reference: requant.cu:7-27 semantics)."""
     prod = acc.astype(jnp.int64) * mul.astype(jnp.int64)
-    rounded = (prod + (jnp.int64(1) << (shift.astype(jnp.int64) - 1))) >> \
-        shift.astype(jnp.int64)
+    sh = shift.astype(jnp.int64)
+    half = jnp.where(sh > 0, jnp.int64(1) << jnp.maximum(sh - 1, 0),
+                     jnp.int64(0))
+    rounded = (prod + half) >> sh
     info = jnp.iinfo(out_dtype)
     return jnp.clip(rounded, info.min, info.max).astype(out_dtype)
 
