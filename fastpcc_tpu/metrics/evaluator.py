@@ -19,14 +19,18 @@ from .pc_error import compute_d1_d2_psnr, mpeg_pc_error
 from ..data.ply_io import write_ply, read_ply
 
 
-def _distortion_job(pred, file_path, resolution, compute_d2):
-    ref = read_ply(file_path)['xyz'] if file_path.endswith('.ply') else None
-    if ref is None:
+def _distortion_job(pred, file_path, resolution, compute_d2, pred_color):
+    data = read_ply(file_path) if file_path.endswith('.ply') else None
+    if data is None:
         return {}
+    ref = data['xyz']
     out = mpeg_pc_error(file_path, '', resolution)
-    if out:
-        return out
-    return compute_d1_d2_psnr(pred, ref, resolution, compute_d2=compute_d2)
+    if not out:
+        out = compute_d1_d2_psnr(pred, ref, resolution, compute_d2=compute_d2)
+    if pred_color is not None and 'rgb' in data:
+        from .pc_error import compute_color_psnr
+        out.update(compute_color_psnr(pred, pred_color, ref, data['rgb']))
+    return out
 
 
 class PCCEvaluator:
@@ -49,7 +53,8 @@ class PCCEvaluator:
     def log(self, pred: np.ndarray, org_points_num: int,
             compressed_bytes: bytes, file_path: str, resolution: float,
             results_dir: Optional[str] = None,
-            extra_info_dict: Optional[Dict] = None) -> Dict:
+            extra_info_dict: Optional[Dict] = None,
+            pred_color: Optional[np.ndarray] = None) -> Dict:
         entry = {
             'input_points_num': int(org_points_num),
             'output_points_num': int(len(pred)),
@@ -64,12 +69,15 @@ class PCCEvaluator:
             with open(osp.join(results_dir, base + '.bin'), 'wb') as f:
                 f.write(compressed_bytes)
             write_ply(osp.join(results_dir, base + '_recon.ply'),
-                      np.asarray(pred))
+                      np.asarray(pred),
+                      rgb=None if pred_color is None
+                      else np.asarray(pred_color))
         if self.compute_distortion and file_path.endswith('.ply') \
                 and osp.isfile(file_path):
             fut = self._ensure_pool().submit(
                 _distortion_job, np.asarray(pred, np.float64), file_path,
-                resolution, self.compute_d2)
+                resolution, self.compute_d2,
+                None if pred_color is None else np.asarray(pred_color))
             self._futures[file_path] = fut
         self.metric_dict[file_path] = entry
         return entry

@@ -107,3 +107,30 @@ def mpeg_pc_error(infile1: str, infile2: str, resolution: float,
         out['mse1+mse2 (p2point)'] = (out['mse1      (p2point)'] +
                                       out['mse2      (p2point)'])
     return out
+
+
+def compute_color_psnr(pred: np.ndarray, pred_rgb: np.ndarray,
+                       ref: np.ndarray, ref_rgb: np.ndarray) -> Dict[str, float]:
+    """Symmetric YUV (BT.709) color PSNR over nearest-neighbor
+    correspondences, reference pc_error schema keys c[0-3],PSNRF
+    (reference: lib/metrics/pc_error_wrapper.py:98-100: weighted
+    (6*Y + U + V) / 8 combined PSNR)."""
+    from .misc import rgb_to_yuv_bt709
+    pred = pred.astype(np.float64)
+    ref = ref.astype(np.float64)
+    yuv_pred = rgb_to_yuv_bt709(pred_rgb.astype(np.float64))
+    yuv_ref = rgb_to_yuv_bt709(ref_rgb.astype(np.float64))
+    _, idx_ab = _nn(pred, ref)
+    _, idx_ba = _nn(ref, pred)
+    out = {}
+    psnrs = []
+    for c in range(3):
+        mse_ab = float(((yuv_pred[:, c] - yuv_ref[idx_ab, c]) ** 2).mean())
+        mse_ba = float(((yuv_ref[:, c] - yuv_pred[idx_ba, c]) ** 2).mean())
+        mse = max(mse_ab, mse_ba)
+        peak2 = 255.0 ** 2 if np.abs(yuv_ref).max() > 1.5 else 1.0
+        psnr = 10 * np.log10(peak2 / mse) if mse > 0 else float('inf')
+        out[f'c[{c}],PSNRF'] = psnr
+        psnrs.append(psnr)
+    out['c[3],PSNRF'] = (6 * psnrs[0] + psnrs[1] + psnrs[2]) / 8
+    return out

@@ -123,3 +123,20 @@ def test_precision_recall_and_yuv():
     rgb = np.random.default_rng(3).integers(0, 256, (50, 3)).astype(np.float64)
     back = yuv_to_rgb_bt709(rgb_to_yuv_bt709(rgb))
     np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+def test_color_psnr_metric(tmp_path):
+    """Evaluator color PSNR: identical colors -> inf PSNR; noisy -> finite."""
+    import numpy as np
+    from fastpcc_tpu.metrics.pc_error import compute_color_psnr
+    rng = np.random.default_rng(0)
+    xyz = rng.integers(0, 64, size=(300, 3)).astype(np.float64)
+    xyz = np.unique(xyz, axis=0)
+    rgb = rng.integers(0, 256, size=(len(xyz), 3)).astype(np.float64)
+    out = compute_color_psnr(xyz, rgb, xyz, rgb)
+    assert out['c[3],PSNRF'] == float('inf')
+    noisy = np.clip(rgb + rng.normal(0, 5, rgb.shape), 0, 255)
+    out2 = compute_color_psnr(xyz, noisy, xyz, rgb)
+    assert 20 < out2['c[0],PSNRF'] < 60
+    assert out2['c[3],PSNRF'] == (6 * out2['c[0],PSNRF'] + out2['c[1],PSNRF']
+                                  + out2['c[2],PSNRF']) / 8
