@@ -305,10 +305,14 @@ class Model:
                     src_codes, src_count, src_bins = (scale(idx + 1)[0],
                                                       scale(idx + 1)[1],
                                                       scale(idx + 1)[2])
-                    embed_dense = sp.ancestor_gather_dense(
+                    # pyramid[t][3] maps scale t rows -> t+1
+                    anc_rows = sp.compose_maps(
+                        [pyramid[t][3] for t in range(idx + 1, r)],
+                        scale(r)[0].shape[0])
+                    embed_dense = sp.ancestor_rows_dense(
                         src_codes, src_count,
-                        src_bins.astype(self.compute_dtype),
-                        scale(r)[0], bits, k - 2)
+                        src_bins.astype(self.compute_dtype), anc_rows,
+                        scale(r)[0].shape[0], k - 2)
                 root_out = mod.apply(
                     {'params': p}, feats, table(r),
                     scale(r)[2], embed_dense,
@@ -621,9 +625,13 @@ class Model:
                     embed_dense = None
                 else:
                     src = states[idx + 1]
-                    embed_dense = _ancestor_dense(
-                        src.codes, src.count, src.bins, states[r].codes,
-                        self.bits, k - 2, self.compute_dtype)
+                    anc_rows = sp.compose_maps(
+                        [states[t].c2p for t in range(idx + 1, r)],
+                        states[r].codes.shape[0])
+                    embed_dense = sp.ancestor_rows_dense(
+                        src.codes, src.count,
+                        src.bins.astype(self.compute_dtype), anc_rows,
+                        states[r].codes.shape[0], k - 2)
                 root_out = _ms_root(ch, k, p, feats,
                                     self._table(states[r], r),
                                     states[r].bins, embed_dense)

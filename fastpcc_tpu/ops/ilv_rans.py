@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 DEFAULT_LANES = 1024
-UNROLL = 4
+UNROLL = 8
 _F32 = jnp.float32
 
 

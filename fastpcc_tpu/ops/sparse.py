@@ -366,6 +366,32 @@ def membership_mask(query_codes: jax.Array, ref_codes: jax.Array,
         (idx < ref_count)
 
 
+def ancestor_rows_dense(child_codes: jax.Array, child_count: jax.Array,
+                        child_feats: jax.Array, anc_rows: jax.Array,
+                        anc_cap: int, levels: int) -> jax.Array:
+    """ancestor_gather_dense with PRECOMPUTED ancestor rows (composed
+    child->parent maps) instead of a binary search — searchsorted costs
+    ~17 gather passes on TPU (PERFNOTES.md round 2)."""
+    n = child_codes.shape[0]
+    k3 = 1 << (3 * levels)
+    offset = (child_codes & (k3 - 1)).astype(jnp.int32)
+    valid = (jnp.arange(n) < child_count) & (anc_rows < anc_cap)
+    scatter_idx = jnp.where(valid, anc_rows * k3 + offset, anc_cap * k3)
+    dense = jnp.zeros((anc_cap * k3, child_feats.shape[-1]), child_feats.dtype)
+    dense = dense.at[scatter_idx].set(child_feats, mode='drop')
+    return dense.reshape(anc_cap, k3, child_feats.shape[-1])
+
+
+def compose_maps(maps, cap: int) -> jax.Array:
+    """Compose a chain of child->parent row maps [m0, m1, ...] into a single
+    rows array (misses/out-of-range propagate to >= cap)."""
+    rows = maps[0]
+    for m in maps[1:]:
+        ext = jnp.concatenate([m, jnp.full((1,), cap, m.dtype)])
+        rows = ext[jnp.minimum(rows, m.shape[0])]
+    return rows
+
+
 def ancestor_gather_dense(child_codes: jax.Array, child_count: jax.Array,
                           child_feats: jax.Array, ancestor_codes: jax.Array,
                           bits: int, levels: int) -> jax.Array:
