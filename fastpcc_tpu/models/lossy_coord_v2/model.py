@@ -218,7 +218,7 @@ def _train_apply(net: V2Net, codes, count, points_num, rng, step):
     for i in range(steps - 1, -1, -1):
         s_tgt = scale_of[i]
         up = bool(cfg.geo_lossl_if_sample[i])
-        if up:
+        if up and cfg.coord_mode == 'learned':
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
             cand, _, _, logits, _ = _coord_logits(
                 net, i, lower, grids, bits, s_tgt, cand_cap,
@@ -329,7 +329,7 @@ def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg, feats0=None):
     for i in range(steps - 1, -1, -1):
         s_tgt = scale_of[i]
         up = bool(cfg.geo_lossl_if_sample[i])
-        if up:
+        if up and cfg.coord_mode == 'learned':
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
             cand, _, _, logits, _ = _coord_logits(
                 net, i, lower, grids, bits, s_tgt, cand_cap,
@@ -388,13 +388,20 @@ def _rec_encode_impl(net, codes, count, bits, cap, dtype, cfg, feats0=None):
     bptr, buf = ir.encode_flush(rs, bptr, buf)
 
     bottom_coords = masked_decode(grids[s_b][0], bits)
+    e = len(cfg.encoder_channels) - 1
+    e_coords = masked_decode(grids[e][0], bits)
+    e_count = grids[e][1]
     tgt_stack = jnp.stack(targets) if targets else jnp.zeros((0,), jnp.int32)
-    return (bptr, buf, res_row, bottom_coords, count_b, tgt_stack, ok)
+    return (bptr, buf, res_row, bottom_coords, count_b, e_coords, e_count,
+            tgt_stack, ok)
 
 
 def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
-                     cap, dtype, cfg):
-    """Traced eval decode of the geo part -> (codes_e, count_e, fea_e)."""
+                     cap, dtype, cfg, e_codes=None, e_count=None):
+    """Eval decode (traceable): stream words -> (codes_e, count_e, fea_e).
+    In coord_mode='gpcc_raw', e_codes/e_count give the scale-E geometry
+    (decoded from the raw/G-PCC stream); all scale coords derive from it and
+    no mask segments exist."""
     scale_of = _geo_scale_of(cfg)
     steps = len(cfg.geo_lossl_if_sample)
     skip = cfg.skip_encoding_fea
@@ -406,6 +413,12 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
     rs, ptr = ir.init_decoder(stream, jnp.int32(0), lanes)
     s_b = scale_of[-1]
     cap_b = _cap_of(cap, s_b, cfg)
+    known = None
+    if cfg.coord_mode == 'gpcc_raw':
+        e = len(cfg.encoder_channels) - 1
+        kgrids, kmaps, ktables, _ = _pyramid(e_codes, e_count, bits, cap,
+                                             s_b - e, cfg)
+        known = (kgrids, kmaps, ktables, e)
     rows_b = jnp.broadcast_to(res_row[None], (cap_b * c_b, alpha))
     rs, ptr, syms_b = ir.decode_segment(rs, ptr, stream, rows_b,
                                         bottom_count * c_b)
@@ -420,7 +433,12 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
         s_tgt = scale_of[i]
         up = bool(cfg.geo_lossl_if_sample[i])
         grids_i = {s_tgt + 1: (codes_cur, count_cur)}
-        if up:
+        if up and known is not None:
+            kgrids, kmaps, ktables, e = known
+            codes_t, count_t = kgrids[s_tgt - e]
+            c2p_t, oct_t = kmaps[s_tgt - e]
+            table_t = ktables[s_tgt - e]
+        elif up:
             cand_cap = 8 * _cap_of(cap, s_tgt + 1, cfg)
             cand, p_of_c, oct_of_c, logits, cand_table = _coord_logits(
                 net, i, lower, grids_i, bits, s_tgt, cand_cap, cur_table,
@@ -467,6 +485,7 @@ def _rec_decode_impl(net, stream, res_row, bottom_codes, bottom_count, bits,
         codes_cur, count_cur = codes_t, count_t
         cur_table = table_t
     return codes_cur, count_cur, lower
+
 
 
 class Model:
@@ -526,12 +545,29 @@ class Model:
                                jnp.asarray(sp_pad(codes_np, cap)),
                                jnp.int32(n), self.bits, cap,
                                self.compute_dtype)
-        bptr, buf, res_row, bottom_coords_d, count_b, targets, ok = out
+        (bptr, buf, res_row, bottom_coords_d, count_b, e_coords_d, e_count,
+         targets, ok) = out
         assert bool(ok), 'lossy_coord_v2 capacity overflow (geo_cap_shrink)'
         blob = ir.stream_to_bytes(bptr, buf, self.cfg.coder_lanes)
         bn = int(count_b)
-        bcoords = np.asarray(bottom_coords_d)[:bn]
-        coord_stream = V1Model._encode_bottom_coords(self, enc, bcoords)
+        if self.cfg.coord_mode == 'gpcc_raw':
+            # scale-E geometry replaces the bottom coords + mask streams
+            # (reference: gpcc_lossy_coord_v2/geo_lossl_em.py; tmc3 when
+            # available, self-contained raw coder otherwise)
+            from ...metrics.gpcc_utils import gpcc_available, \
+                gpcc_octree_lossless_geom_encode
+            en = int(e_count)
+            ecoords = np.asarray(e_coords_d)[:en]
+            if gpcc_available():
+                coord_stream = b'\x01' + gpcc_octree_lossless_geom_encode(
+                    ecoords, '')
+            else:
+                coord_stream = b'\x00' + V1Model._encode_bottom_coords(
+                    self, enc, ecoords)
+            bn = en
+        else:
+            bcoords = np.asarray(bottom_coords_d)[:bn]
+            coord_stream = V1Model._encode_bottom_coords(self, enc, bcoords)
         scaler = self.cfg.adaptive_pruning_scaler
         with io.BytesIO() as bs:
             for v in offset.tolist():
@@ -565,9 +601,25 @@ class Model:
         cap = _bucket(n)
         scale_of = _geo_scale_of(cfg)
         cap_b = _cap_of(cap, scale_of[-1], cfg)
-        bcoords = V1Model._decode_bottom_coords(self, dec, coord_stream,
-                                                bn * 3).reshape(-1, 3)
-        bcodes = np.sort(np_morton_encode(bcoords.astype(np.int64)))
+        e = len(cfg.encoder_channels) - 1
+        e_codes_j = None
+        if cfg.coord_mode == 'gpcc_raw':
+            from ...metrics.gpcc_utils import gpcc_decode
+            if coord_stream[:1] == b'\x01':
+                ecoords = gpcc_decode(coord_stream[1:])
+            else:
+                ecoords = V1Model._decode_bottom_coords(
+                    self, dec, coord_stream[1:], bn * 3).reshape(-1, 3)
+            ecodes = np.sort(np_morton_encode(ecoords.astype(np.int64)))
+            e_codes_j = jnp.asarray(sp_pad(ecodes, _cap_of(cap, e, cfg)))
+            # the bottom grid derives from the scale-E codes
+            bshift = 3 * (scale_of[-1] - e)
+            bcodes = np.unique(ecodes >> bshift)
+            bn = len(bcodes)
+        else:
+            bcoords = V1Model._decode_bottom_coords(self, dec, coord_stream,
+                                                    bn * 3).reshape(-1, 3)
+            bcodes = np.sort(np_morton_encode(bcoords.astype(np.int64)))
         total_syms = 0
         for i, up in enumerate(cfg.geo_lossl_if_sample):
             s = scale_of[i]
@@ -580,7 +632,8 @@ class Model:
             {'params': params}, words, jnp.asarray(res_row.astype(np.int32))
             .astype(jnp.uint16),
             jnp.asarray(sp_pad(bcodes, cap_b)), jnp.int32(bn),
-            self.bits, cap, self.compute_dtype)
+            self.bits, cap, self.compute_dtype,
+            e_codes_j, None if e_codes_j is None else jnp.int32(len(ecodes)))
         # normal decoder
         parent_codes, parent_count = codes_e, count_e
         feats = fea_e.astype(self.compute_dtype)
@@ -603,10 +656,15 @@ def _v2_encode_full(net, variables, codes, count, bits, cap, dtype):
 
 
 def _v2_decode_full(net, variables, stream, res_row, bcodes, bcount, bits,
-                    cap, dtype):
-    return net.apply(variables, stream, res_row, bcodes, bcount,
-                     method=lambda m, s, r, bc, bn: _rec_decode_impl(
-                         m, s, r, bc, bn, bits, cap, dtype, m.cfg))
+                    cap, dtype, e_codes=None, e_count=None):
+    if e_codes is None:
+        return net.apply(variables, stream, res_row, bcodes, bcount,
+                         method=lambda m, s, r, bc, bn: _rec_decode_impl(
+                             m, s, r, bc, bn, bits, cap, dtype, m.cfg))
+    return net.apply(variables, stream, res_row, bcodes, bcount, e_codes,
+                     e_count,
+                     method=lambda m, s, r, bc, bn, ec, en: _rec_decode_impl(
+                         m, s, r, bc, bn, bits, cap, dtype, m.cfg, ec, en))
 
 
 def _v2_dec_stage(net, variables, stage_j, feats, parent_codes, parent_count,

@@ -31,6 +31,12 @@ class Config(SimpleConfig):
     warmup_fea_loss_factor: float = 0.4
     linear_warmup: bool = False
 
+    coord_mode: str = 'learned'    # 'learned' (hyper-decoded masks) |
+                                   # 'gpcc_raw' (scale-E coords coded raw or
+                                   # via tmc3 when $TMC3_BIN is set; no coord
+                                   # masks — the gpcc_lossy_coord_v2 variant,
+                                   # reference: models/convolutional/
+                                   # gpcc_lossy_coord_v2/model.py:20-208)
     coord_bits: int = 12
     compute_dtype: str = 'bfloat16'
     em_tail_range: int = 32        # training-bits EM support

@@ -68,7 +68,8 @@ def test_v2_geo_part_lossless():
                             jnp.asarray(sp_pad(codes_np, cap)),
                             jnp.int32(n), cfg.coord_bits, cap,
                             model.compute_dtype)
-    bptr, buf, res_row, bottom_coords, count_b, targets, ok = out
+    (bptr, buf, res_row, bottom_coords, count_b, _e_coords, _e_count,
+     targets, ok) = out
     assert bool(ok)
     from fastpcc_tpu.ops import ilv_rans as ir
     blob = ir.stream_to_bytes(bptr, buf, cfg.coder_lanes)
@@ -132,3 +133,33 @@ def test_v2_train_loss_decreases():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_gpcc_variant_roundtrip():
+    """coord_mode='gpcc_raw' (the gpcc_lossy_coord_v2 variant): scale-E
+    coordinates travel raw/G-PCC, no mask streams; geometry above the normal
+    part must reconstruct exactly from them."""
+    from fastpcc_tpu.models.gpcc_lossy_coord_v2 import Config as GConfig, \
+        Model as GModel
+    cfg = GConfig()
+    cfg.coord_bits = 8
+    cfg.encoder_channels = (8, 16)
+    cfg.decoder_channels = (8,)
+    cfg.geo_lossl_if_sample = (0, 1, 0, 1)
+    cfg.geo_lossl_channels = (16, 32, 32, 32, 1)
+    cfg.compressed_channels = (1,)
+    cfg.skip_encoding_fea = 1
+    cfg.bottleneck_value_bound = 8
+    cfg.em_tail_range = 8
+    cfg.coder_lanes = 8
+    cfg.geo_cap_shrink_log2 = 0
+    cfg.check()
+    assert cfg.coord_mode == 'gpcc_raw'
+    model = GModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    xyz = _cloud(500, 256, seed=3)
+    blob = model.compress(params, xyz)
+    recon = model.decompress(params, blob)
+    assert 0.3 * len(xyz) < len(recon) < 3.0 * len(xyz)
+    recon2 = model.decompress(params, blob)
+    np.testing.assert_array_equal(recon, recon2)

@@ -156,31 +156,55 @@ def main(argv: List[str]):
     global_step = 0
     step_time_ema = None
 
+    def build_batch(idxs):
+        """Host-side batch packing, run by prefetch workers (the analog of
+        the reference's DataLoader workers + prefetch,
+        reference: train.py:250-260)."""
+        pcs = [[None] * acc for _ in range(n_dev)]
+        cap = 0
+        for d in range(n_dev):
+            for a in range(acc):
+                lo = (d * acc + a) * local_bs
+                samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
+                pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
+                pcs[d][a] = pc
+                cap = max(cap, len(pc.codes))
+        dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
+        dev_counts = np.zeros((n_dev, acc), np.int32)
+        dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
+        for d in range(n_dev):
+            for a in range(acc):
+                pc = pcs[d][a]
+                dev_codes[d, a, :len(pc.codes)] = pc.codes
+                dev_counts[d, a] = pc.count
+                dev_pn[d, a] = pc.points_num
+        return dev_codes, dev_counts, dev_pn
+
+    import collections
+    import concurrent.futures
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(cfg.train.num_workers, 1)) \
+        if cfg.train.num_workers > 0 else None
+    depth = max(cfg.train.prefetch_factor, 1) * max(cfg.train.num_workers, 1)
+
     for epoch in range(start_epoch, cfg.train.epochs):
         order = rng.permutation(len(dataset)) if cfg.train.shuffle \
             else np.arange(len(dataset))
+        slices = [order[it * cfg.train.batch_size:
+                        (it + 1) * cfg.train.batch_size]
+                  for it in range(steps_per_epoch)]
+        pending = collections.deque()
+        next_submit = 0
         for it in range(steps_per_epoch):
             t0 = time.perf_counter()
-            idxs = order[it * cfg.train.batch_size:(it + 1) * cfg.train.batch_size]
-            # [device, microbatch] packing
-            pcs = [[None] * acc for _ in range(n_dev)]
-            cap = 0
-            for d in range(n_dev):
-                for a in range(acc):
-                    lo = (d * acc + a) * local_bs
-                    samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
-                    pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
-                    pcs[d][a] = pc
-                    cap = max(cap, len(pc.codes))
-            dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
-            dev_counts = np.zeros((n_dev, acc), np.int32)
-            dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
-            for d in range(n_dev):
-                for a in range(acc):
-                    pc = pcs[d][a]
-                    dev_codes[d, a, :len(pc.codes)] = pc.codes
-                    dev_counts[d, a] = pc.count
-                    dev_pn[d, a] = pc.points_num
+            if pool is not None:
+                while next_submit < steps_per_epoch and len(pending) < depth:
+                    pending.append(pool.submit(build_batch,
+                                               slices[next_submit]))
+                    next_submit += 1
+                dev_codes, dev_counts, dev_pn = pending.popleft().result()
+            else:
+                dev_codes, dev_counts, dev_pn = build_batch(slices[it])
             codes, counts, pn = shard_batch(mesh, dev_codes, dev_counts,
                                             dev_pn)
             params, opt_state, loss, aux = step_fn(
@@ -222,6 +246,8 @@ def main(argv: List[str]):
                 for k, v in metrics.items():
                     tb.add_scalar(f'test/{k}', v, global_step)
 
+    if pool is not None:
+        pool.shutdown()
     logger.info('training done')
 
 
