@@ -39,6 +39,10 @@ def main():
     ap.add_argument('test')
     ap.add_argument('--csv', default='')
     ap.add_argument('--plot', default='')
+    ap.add_argument('--plot-dir', default='',
+                    help='write one RD curve figure per sample '
+                         '(reference: compare_performance.py per-sample plots)')
+    ap.add_argument('--psnr-key', default=PSNR_KEY)
     args = ap.parse_args()
 
     anchor = load_rd(args.anchor)
@@ -63,6 +67,27 @@ def main():
             f.write('file,bd_rate_percent,bd_psnr_db\n')
             for file, br, bp in rows:
                 f.write(f'{file},{br},{bp}\n')
+    if args.plot_dir:
+        import os
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        os.makedirs(args.plot_dir, exist_ok=True)
+        for file in sorted(set(anchor) & set(test)):
+            fig, ax = plt.subplots()
+            ra, pa = anchor[file]
+            rt, pt = test[file]
+            ax.plot(ra, pa, marker='o', label='anchor')
+            ax.plot(rt, pt, marker='s', label='test')
+            ax.set_xlabel('bpp')
+            ax.set_ylabel('D1 PSNR (dB)')
+            ax.set_title(osp.basename(file))
+            ax.legend()
+            out = osp.join(args.plot_dir,
+                           osp.splitext(osp.basename(file))[0] + '_rd.png')
+            fig.savefig(out, dpi=120)
+            plt.close(fig)
+        print(f'wrote per-sample RD plots to {args.plot_dir}')
     if args.plot:
         import matplotlib
         matplotlib.use('Agg')
