@@ -38,12 +38,22 @@ class ScaleHyperprior(nn.Module):
         self.em_y = ScaleIndexedNormalEntropyModel(
             num_scales=self.num_scales, tail_range=self.y_tail_range)
 
-    def __call__(self, y: jax.Array, rng: jax.Array, mask=None):
-        """Training pass -> (y_tilde, total_bits)."""
+    def _he(self, y, table):
+        return self.hyper_encoder(y) if table is None \
+            else self.hyper_encoder(y, table)
+
+    def _hd(self, z, table):
+        return self.hyper_decoder(z) if table is None \
+            else self.hyper_decoder(z, table)
+
+    def __call__(self, y: jax.Array, rng: jax.Array, mask=None, table=None):
+        """Training pass -> (y_tilde, total_bits). ``table`` threads a
+        neighbor table into sparse-conv hyper nets (the reference's hyper
+        nets are sparse convs, lossy_coord/model.py:126-192)."""
         rz, ry = jax.random.split(rng)
-        z = self.hyper_encoder(y)
+        z = self._he(y, table)
         z_tilde, z_bits = self.em_z(z, rz, mask)
-        indexes = self.hyper_decoder(z_tilde)
+        indexes = self._hd(z_tilde, table)
         y_tilde, y_bitmap = self.em_y(y, indexes, ry)
         if mask is not None:
             y_bitmap = y_bitmap * mask[..., None]
@@ -51,17 +61,17 @@ class ScaleHyperprior(nn.Module):
 
     # --- eval-path pieces (driven by HyperpriorCoder below) ---
 
-    def encode_path(self, y: jax.Array):
+    def encode_path(self, y: jax.Array, table=None):
         """-> (z_int, indexes_int, y_int): everything the coders need."""
-        z = self.hyper_encoder(y)
+        z = self._he(y, table)
         z_int = jnp.round(z)
-        indexes = self.hyper_decoder(z_int)
+        indexes = self._hd(z_int, table)
         idx_int = jnp.clip(jnp.round(indexes), 0, self.num_scales - 1) \
             .astype(jnp.int32)
         return z_int.astype(jnp.int32), idx_int, jnp.round(y).astype(jnp.int32)
 
-    def decode_path(self, z_int: jax.Array):
-        indexes = self.hyper_decoder(z_int.astype(jnp.float32))
+    def decode_path(self, z_int: jax.Array, table=None):
+        indexes = self._hd(z_int.astype(jnp.float32), table)
         return jnp.clip(jnp.round(indexes), 0, self.num_scales - 1) \
             .astype(jnp.int32)
 
@@ -92,9 +102,9 @@ class HyperpriorCoder:
         self.coder_y = IndexedRansCoder(True, 1)
         self.coder_y.init_with_pmfs(pmf, offsets)
 
-    def compress(self, y: jax.Array) -> Tuple[bytes, Tuple[int, ...]]:
+    def compress(self, y: jax.Array, table=None) -> Tuple[bytes, Tuple[int, ...]]:
         z_int, idx_int, y_int = self.module.apply(
-            self.variables, y, method=ScaleHyperprior.encode_path)
+            self.variables, y, table, method=ScaleHyperprior.encode_path)
         z_np = np.asarray(z_int)
         z_bytes = compress_with_coder(self.coder_z, z_np[None])[0]
         y_np = np.asarray(y_int).reshape(1, -1).astype(np.int32)
@@ -102,11 +112,12 @@ class HyperpriorCoder:
         y_bytes = self.coder_y.encode_with_indexes(y_np, idx_np)[0]
         return concat_byte_streams([z_bytes, y_bytes]), z_np.shape
 
-    def decompress(self, data: bytes, z_shape, y_shape) -> np.ndarray:
+    def decompress(self, data: bytes, z_shape, y_shape,
+                   table=None) -> np.ndarray:
         z_bytes, y_bytes = split_byte_streams(data, 2)
         z_int = decompress_with_coder(self.coder_z, [z_bytes], z_shape)[0]
         idx_int = self.module.apply(
-            self.variables, jnp.asarray(z_int),
+            self.variables, jnp.asarray(z_int), table,
             method=ScaleHyperprior.decode_path)
         idx_np = np.asarray(idx_int).reshape(1, -1).astype(np.int32)
         y_out = np.empty_like(idx_np)
