@@ -236,8 +236,20 @@ class SimpleConfig:
             if m:
                 inc = m.group(1)
                 if not osp.isfile(inc):
-                    cand = osp.join(osp.dirname(osp.abspath(yaml_path)), inc)
-                    inc = cand if osp.isfile(cand) else inc
+                    # repo-root-relative include, resolved by walking up from
+                    # the including file (so configs work from any CWD)
+                    d = osp.dirname(osp.abspath(yaml_path))
+                    cands = [osp.join(d, inc), osp.join(d, osp.basename(inc))]
+                    while True:
+                        parent = osp.dirname(d)
+                        if parent == d:
+                            break
+                        d = parent
+                        cands.append(osp.join(d, inc))
+                    for cand in cands:
+                        if osp.isfile(cand):
+                            inc = cand
+                            break
                 self.merge_with_yaml(inc)
             elif not line.startswith('#'):
                 break

@@ -92,6 +92,10 @@ class Dataset(DatasetBase):
             cap = self.cfg.kd_tree_partition_max_points_num
             cap = cap[0] if isinstance(cap, (tuple, list)) else cap
             if cap and len(xyz) > cap:
-                from ...kd_partition import kd_tree_partition_randomly
-                sample['xyz'] = kd_tree_partition_randomly(xyz, cap, self.rng)
+                from ...kd_partition import kd_tree_partition_randomly_idx
+                idx = kd_tree_partition_randomly_idx(xyz, cap, self.rng)
+                sample['xyz'] = xyz[idx]
+                for key in ('color', 'reflectance'):
+                    if key in sample:
+                        sample[key] = sample[key][idx]
         return sample

@@ -49,12 +49,27 @@ def synthetic_surface(seed: int = 0, n: int = 200_000,
     return np.unique(xyz.round().astype(np.int32), axis=0)
 
 
+def synthetic_colors(xyz: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Smooth procedural RGB (uint8) over a point set — a stand-in for
+    photographed vertex colors when no real colored data is mounted."""
+    rng = np.random.default_rng(seed)
+    p = xyz.astype(np.float64)
+    p = p / max(p.max(), 1.0)
+    phase = rng.random(3) * 6.28
+    freq = 2.0 + 3.0 * rng.random(3)
+    r = 0.5 + 0.5 * np.sin(freq[0] * p[:, 0] + 2 * p[:, 1] + phase[0])
+    g = 0.5 + 0.5 * np.sin(freq[1] * p[:, 1] + 2 * p[:, 2] + phase[1])
+    b = 0.5 + 0.5 * np.sin(freq[2] * p[:, 2] + 2 * p[:, 0] + phase[2])
+    return np.clip(np.stack([r, g, b], 1) * 255, 0, 255).astype(np.uint8)
+
+
 @dataclass
 class Config(SimpleConfig):
     kind: str = 'lidar'          # 'lidar' | 'surface'
     num_samples: int = 8
     resolution: int = 65536
     kd_tree_partition_max_points_num: int = 0
+    with_color: bool = False
     seed: int = 0
 
 
@@ -80,5 +95,10 @@ class Dataset(DatasetBase):
                 xyz = kd_tree_partition_randomly(
                     xyz, cap, np.random.default_rng(seed))
                 xyz = xyz - xyz.min(0)
-        return dict(xyz=xyz, file_path=f'synthetic_{index}.bin',
-                    org_points_num=len(xyz), resolution=resolution)
+        out = dict(xyz=xyz, file_path=f'synthetic_{index}.bin',
+                   org_points_num=len(xyz), resolution=resolution)
+        if self.cfg.with_color:
+            rgb = synthetic_colors(xyz, seed)
+            out['rgb'] = rgb
+            out['color'] = rgb
+        return out

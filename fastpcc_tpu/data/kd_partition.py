@@ -24,17 +24,29 @@ def _split(xyz: np.ndarray, indices: np.ndarray, max_num: int,
 
 def kd_tree_partition(xyz: np.ndarray, max_num: int) -> List[np.ndarray]:
     """Partition [N, D] points into chunks of <= max_num points each."""
+    return [xyz[idx] for idx in kd_tree_partition_idx(xyz, max_num)]
+
+
+def kd_tree_partition_idx(xyz: np.ndarray, max_num: int) -> List[np.ndarray]:
+    """Same split, but return index arrays (lets callers carry per-point
+    attributes such as RGB through the partition)."""
     if len(xyz) <= max_num:
-        return [xyz]
+        return [np.arange(len(xyz))]
     out: List[np.ndarray] = []
     _split(xyz, np.arange(len(xyz)), max_num, out)
-    return [xyz[idx] for idx in out]
+    return out
 
 
 def kd_tree_partition_randomly(xyz: np.ndarray, max_num: int,
                                rng: np.random.Generator) -> np.ndarray:
     """Training-time random crop: walk the kd-tree picking a random side until
     the part fits (reference: lib/data_utils.py:237-283)."""
+    return xyz[kd_tree_partition_randomly_idx(xyz, max_num, rng)]
+
+
+def kd_tree_partition_randomly_idx(xyz: np.ndarray, max_num: int,
+                                   rng: np.random.Generator) -> np.ndarray:
+    """Index-returning variant (keeps per-point attributes aligned)."""
     indices = np.arange(len(xyz))
     while len(indices) > max_num:
         pts = xyz[indices]
@@ -43,4 +55,4 @@ def kd_tree_partition_randomly(xyz: np.ndarray, max_num: int,
         mid = len(order) // 2
         half = order[:mid] if rng.random() < 0.5 else order[mid:]
         indices = indices[half]
-    return xyz[indices]
+    return indices

@@ -37,20 +37,31 @@ def _bucket(n: int, minimum: int = 1024) -> int:
     return max(1 << math.ceil(math.log2(max(n, 1))), minimum)
 
 
-def pc_batch_to_codes(xyz_list: List[np.ndarray], bits: int) -> PCData:
+def pc_batch_to_codes(xyz_list: List[np.ndarray], bits: int,
+                      feats_list: Optional[List[np.ndarray]] = None) -> PCData:
     """Pack a list of per-sample integer coords into one sorted padded code
-    array with the batch index in the high bits."""
+    array with the batch index in the high bits. feats_list (e.g. RGB)
+    rides along, reordered/deduplicated consistently with the codes."""
     codes_list = []
+    feats_out = []
     points_num = []
     for b, xyz in enumerate(xyz_list):
-        c = np.unique(np_morton_encode(xyz.astype(np.int64)))
+        raw = np_morton_encode(xyz.astype(np.int64))
+        c, first = np.unique(raw, return_index=True)
         codes_list.append(c | (np.int64(b) << (3 * bits)))
+        if feats_list is not None:
+            feats_out.append(feats_list[b][first])
         points_num.append(len(c))
     codes = np.concatenate(codes_list)
     # per-sample blocks are internally sorted and batch-major -> already sorted
     cap = _bucket(len(codes))
     padded = np.full((cap,), (1 << 62), np.int64)
     padded[:len(codes)] = codes
+    color = None
+    if feats_list is not None:
+        f = np.concatenate(feats_out).astype(np.float32)
+        color = np.zeros((cap, f.shape[1]), np.float32)
+        color[:len(codes)] = f
     return PCData(codes=padded, count=len(codes),
                   points_num=np.asarray(points_num, np.float32),
-                  batch_size=len(xyz_list))
+                  color=color, batch_size=len(xyz_list))

@@ -102,23 +102,34 @@ class HyperpriorCoder:
         self.coder_y = IndexedRansCoder(True, 1)
         self.coder_y.init_with_pmfs(pmf, offsets)
 
-    def compress(self, y: jax.Array, table=None) -> Tuple[bytes, Tuple[int, ...]]:
+    def compress(self, y: jax.Array, table=None,
+                 n: int = 0) -> Tuple[bytes, Tuple[int, ...]]:
+        """n > 0: y/table row capacity exceeds the valid count n (sparse-conv
+        hyper nets run at padded capacity); only the first n rows are coded."""
         z_int, idx_int, y_int = self.module.apply(
             self.variables, y, table, method=ScaleHyperprior.encode_path)
         z_np = np.asarray(z_int)
+        y_np = np.asarray(y_int)
+        idx_np = np.asarray(idx_int)
+        if n:
+            z_np, y_np, idx_np = z_np[:n], y_np[:n], idx_np[:n]
         z_bytes = compress_with_coder(self.coder_z, z_np[None])[0]
-        y_np = np.asarray(y_int).reshape(1, -1).astype(np.int32)
-        idx_np = np.asarray(idx_int).reshape(1, -1).astype(np.int32)
-        y_bytes = self.coder_y.encode_with_indexes(y_np, idx_np)[0]
+        y_bytes = self.coder_y.encode_with_indexes(
+            y_np.reshape(1, -1).astype(np.int32),
+            idx_np.reshape(1, -1).astype(np.int32))[0]
         return concat_byte_streams([z_bytes, y_bytes]), z_np.shape
 
     def decompress(self, data: bytes, z_shape, y_shape,
-                   table=None) -> np.ndarray:
+                   table=None, cap: int = 0) -> np.ndarray:
         z_bytes, y_bytes = split_byte_streams(data, 2)
         z_int = decompress_with_coder(self.coder_z, [z_bytes], z_shape)[0]
+        if cap:
+            z_int = np.pad(z_int, ((0, cap - z_int.shape[0]), (0, 0)))
         idx_int = self.module.apply(
             self.variables, jnp.asarray(z_int), table,
             method=ScaleHyperprior.decode_path)
+        if cap:
+            idx_int = idx_int[:y_shape[0]]
         idx_np = np.asarray(idx_int).reshape(1, -1).astype(np.int32)
         y_out = np.empty_like(idx_np)
         self.coder_y.decode_with_indexes([y_bytes], idx_np, y_out)

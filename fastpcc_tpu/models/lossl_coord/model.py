@@ -250,8 +250,8 @@ class Model:
         # tables propagate top-down from one cheap search at the coarsest
         # scale (searchsorted is ~30x slower on TPU, see PERFNOTES.md)
         top_pc, top_cnt = pyramid[self.max_down - 1][:2]
-        tables = {self.max_down: sp.build_neighbor_table(
-            top_pc, top_cnt, bits, bits - self.max_down)}
+        tables = {self.max_down: self._top_table(
+            top_pc, top_cnt, self.max_down, batch_size)}
         for s in range(self.max_down - 1, 0, -1):
             c2p_s, oct_s = pyramid[s][3], pyramid[s][4]
             cnt_s = pyramid[s - 1][1]
@@ -425,6 +425,8 @@ class Model:
             self._rans = (rs, ptr, stream)
             self._use_device_decode = True
             states = {top: _ScaleState(bottom_codes, bottom_count, None)}
+            states[top].table = self._top_table(bottom_codes, bottom_count,
+                                                top)
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
             return masked_decode(states[0].codes, self.bits)
@@ -451,6 +453,7 @@ class Model:
             self._rans = (rs, ptr, buf)
             self._use_device_decode = True
             states = {top: _ScaleState(bottom_codes, bcount, None)}
+            states[top].table = self._top_table(bottom_codes, bcount, top)
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
         finally:
@@ -563,11 +566,35 @@ class Model:
     def _nn_cdf(self, logits):
         return _cdf_rows(logits)
 
-    def _thread_tables(self, states, top):
+    def _top_table_cap(self, cap: int, top: int, batch_hint: int = 1) -> int:
+        """Static row bound for the coarsest-scale table: a sample has at
+        most 8^(bits-top) distinct top-scale codes. Searching over the full
+        padded capacity instead made the two top-table builds cost ~4.7 s of
+        an 8.1 s whole-frame roundtrip (HLO device profile, round 2)."""
+        side = self.bits - top
+        if 3 * side >= 60:
+            return cap
+        return min(cap, max(int(batch_hint) << (3 * side), 8))
+
+    def _top_table(self, codes, count, top, batch_hint: int = 1):
+        """Coarsest-scale table: search only the first `tc` rows (all valid
+        codes live there), then restore the full [cap, 27] miss=cap
+        convention with a constant-pad concat."""
+        cap = codes.shape[0]
+        tc = self._top_table_cap(cap, top, batch_hint)
+        small = sp.build_neighbor_table(codes[:tc], count, self.bits,
+                                        self.bits - top)
+        if tc == cap:
+            return small
+        rows = jnp.where(small == tc, cap, small)
+        return jnp.concatenate(
+            [rows, jnp.full((cap - tc, 27), cap, jnp.int32)], axis=0)
+
+    def _thread_tables(self, states, top, batch_hint: int = 1):
         """Propagate neighbor tables top-down through the scale states
-        (one searchsorted at the coarsest scale, pure gathers below)."""
-        states[top].table = sp.build_neighbor_table(
-            states[top].codes, states[top].count, self.bits, self.bits - top)
+        (one small searchsorted at the coarsest scale, pure gathers below)."""
+        states[top].table = self._top_table(
+            states[top].codes, states[top].count, top, batch_hint)
         for s in range(top - 1, 0, -1):
             states[s].table = sp.child_table_from_parent(
                 states[s + 1].table, states[s].c2p, states[s].octant,
@@ -752,6 +779,8 @@ class Model:
             return xyz + offset[None]
         states = {top: _ScaleState(jnp.asarray(sp_pad_codes(codes_np, cap)),
                                    jnp.int32(bottom_n), bottom_n)}
+        states[top].table = self._top_table(states[top].codes,
+                                            states[top].count, top)
         self._run_scales(params, states, top, symbols_of=None,
                          decode_scale=True)
         final = states[0]

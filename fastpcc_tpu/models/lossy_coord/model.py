@@ -98,12 +98,43 @@ def sp_pad(arr: np.ndarray, cap: int, fill=None) -> np.ndarray:
     return out
 
 
+class HyperConvEncoder(nn.Module):
+    """Sparse-conv hyper encoder y -> z (reference HyperEncoder: stride-1
+    conv stacks at the bottleneck scale, lossy_coord/layers.py:250-283)."""
+    channels: Tuple[int, ...]
+    out: int
+
+    @nn.compact
+    def __call__(self, y, table):
+        x = jnp.abs(y)
+        for ch in self.channels:
+            x = ConvBlock3(ch, 'relu')(x, table)
+        from ...nn.blocks import SparseConv3x3
+        return SparseConv3x3(self.out)(x, table).astype(jnp.float32)
+
+
+class HyperConvDecoder(nn.Module):
+    """Sparse-conv hyper decoder z -> positive scale indexes."""
+    channels: Tuple[int, ...]
+    out: int
+
+    @nn.compact
+    def __call__(self, z, table):
+        x = z
+        for ch in self.channels:
+            x = ConvBlock3(ch, 'relu')(x, table)
+        from ...nn.blocks import SparseConv3x3
+        x = SparseConv3x3(self.out)(x, table).astype(jnp.float32)
+        return nn.softplus(x) * 8.0
+
+
 class HyperMLP(nn.Module):
     """Pointwise hyper-encoder y -> z."""
     out: int
 
     @nn.compact
-    def __call__(self, y):
+    def __call__(self, y, table=None):
+        del table                         # pointwise net; table is conv-only
         h = nn.relu(nn.Dense(32, param_dtype=jnp.float32)(jnp.abs(y)))
         return nn.Dense(self.out, param_dtype=jnp.float32)(h)
 
@@ -113,7 +144,8 @@ class HyperScaleMLP(nn.Module):
     out: int
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, table=None):
+        del table                         # pointwise net; table is conv-only
         h = nn.relu(nn.Dense(32, param_dtype=jnp.float32)(z))
         return nn.softplus(nn.Dense(self.out, param_dtype=jnp.float32)(h)) * 8.0
 
@@ -151,12 +183,16 @@ class LossyNet(nn.Module):
                 fea_tail_range=c.em_tail_range,
                 bottleneck_process=c.bottleneck_process)
         elif c.em_mode == 'hyperprior':
-            # pointwise hyper codec on the bottleneck features (the reference
-            # uses sparse-conv hyper nets, model.py:126-192; pointwise is the
-            # minimal faithful variant on our code-sparse representation)
+            if c.hyper_net == 'conv':
+                he = HyperConvEncoder(c.hyper_encoder_channels,
+                                      c.hyper_channels)
+                hd = HyperConvDecoder(c.hyper_decoder_channels,
+                                      c.compressed_channels)
+            else:
+                he = HyperMLP(c.hyper_channels)
+                hd = HyperScaleMLP(c.compressed_channels)
             self.em = ScaleHyperprior(
-                hyper_encoder=HyperMLP(c.hyper_channels),
-                hyper_decoder=HyperScaleMLP(c.compressed_channels),
+                hyper_encoder=he, hyper_decoder=hd,
                 hyper_channels=c.hyper_channels,
                 z_tail_range=c.em_tail_range, y_tail_range=c.em_tail_range)
         else:
@@ -178,8 +214,10 @@ class LossyNet(nn.Module):
             x = stage(dense, tables[i + 1])
         return x
 
-    def em_train(self, y, rng, mask):
+    def em_train(self, y, rng, mask, table=None):
         if self.cfg.em_mode == 'hyperprior':
+            if self.cfg.hyper_net == 'conv':
+                return self.em(y, rng, mask, table)
             return self.em(y, rng, mask)
         y_tilde = self.em.perturb(y, rng)
         return y_tilde, self.em.bits(y_tilde, mask)
@@ -243,7 +281,8 @@ def _train_apply(net: LossyNet, codes, count, points_num, rng, step):
             net, y, grids[NUM_SCALES][0], grids[NUM_SCALES][1], bits, rng,
             _rec_cap(cap, cfg), dtype)
     else:
-        y_tilde, em_bits = net.em_train(y, rng, valid_bottom)
+        y_tilde, em_bits = net.em_train(y, rng, valid_bottom,
+                                        tables[NUM_SCALES])
     total_points = points_num.sum()
 
     feats = (y_tilde * valid_bottom[:, None]).astype(dtype)
@@ -677,9 +716,16 @@ class Model:
     def _coders(self, params):
         if self._em_coder is None:
             if self.cfg.em_mode == 'hyperprior':
+                if self.cfg.hyper_net == 'conv':
+                    he = HyperConvEncoder(self.cfg.hyper_encoder_channels,
+                                          self.cfg.hyper_channels)
+                    hd = HyperConvDecoder(self.cfg.hyper_decoder_channels,
+                                          self.cfg.compressed_channels)
+                else:
+                    he = HyperMLP(self.cfg.hyper_channels)
+                    hd = HyperScaleMLP(self.cfg.compressed_channels)
                 hp = ScaleHyperprior(
-                    hyper_encoder=HyperMLP(self.cfg.hyper_channels),
-                    hyper_decoder=HyperScaleMLP(self.cfg.compressed_channels),
+                    hyper_encoder=he, hyper_decoder=hd,
                     hyper_channels=self.cfg.hyper_channels,
                     z_tail_range=self.cfg.em_tail_range,
                     y_tail_range=self.cfg.em_tail_range)
@@ -762,7 +808,14 @@ class Model:
         bottom_n = int(bcount)
         y_host = np.asarray(y_float)[:bottom_n]
         if self.cfg.em_mode == 'hyperprior':
-            em_stream, _ = em_coder.compress(jnp.asarray(y_host))
+            if self.cfg.hyper_net == 'conv':
+                table = sp.build_neighbor_table(
+                    bottom_codes_np, bcount, self.bits,
+                    self.bits - NUM_SCALES)
+                em_stream, _ = em_coder.compress(y_float, table=table,
+                                                 n=bottom_n)
+            else:
+                em_stream, _ = em_coder.compress(jnp.asarray(y_host))
             em_streams = [em_stream]
         else:
             em_streams = compress_with_coder(
@@ -829,7 +882,20 @@ class Model:
                        for _ in range(NUM_SCALES)]
             em_stream, coord_stream = split_byte_streams(bs.read(), 2)
 
-        if self.cfg.em_mode == 'hyperprior':
+        if self.cfg.em_mode == 'hyperprior' and self.cfg.hyper_net == 'conv':
+            cap0 = _bucket(n)
+            coords0 = self._decode_bottom_coords(
+                dec, coord_stream, bottom_n * 3).reshape(-1, 3)
+            bottom_codes0 = np.sort(np_morton_encode(coords0.astype(np.int64)))
+            bc_j = jnp.asarray(sp_pad(bottom_codes0, cap0))
+            table = sp.build_neighbor_table(bc_j, jnp.int32(bottom_n),
+                                            self.bits, self.bits - NUM_SCALES)
+            y_int = em_coder.decompress(
+                em_stream, (bottom_n, self.cfg.hyper_channels),
+                (bottom_n, self.cfg.compressed_channels),
+                table=table, cap=cap0)
+            coords, bottom_codes_cached = coords0, bottom_codes0
+        elif self.cfg.em_mode == 'hyperprior':
             y_int = em_coder.decompress(
                 em_stream, (bottom_n, self.cfg.hyper_channels),
                 (bottom_n, self.cfg.compressed_channels))
@@ -837,9 +903,12 @@ class Model:
             y_int = decompress_with_coder(
                 em_coder, [em_stream],
                 (bottom_n, self.cfg.compressed_channels))[0]
-        coords = self._decode_bottom_coords(
-            dec, coord_stream, bottom_n * 3).reshape(-1, 3)
-        bottom_codes = np.sort(np_morton_encode(coords.astype(np.int64)))
+        if self.cfg.em_mode == 'hyperprior' and self.cfg.hyper_net == 'conv':
+            bottom_codes = bottom_codes_cached
+        else:
+            coords = self._decode_bottom_coords(
+                dec, coord_stream, bottom_n * 3).reshape(-1, 3)
+            bottom_codes = np.sort(np_morton_encode(coords.astype(np.int64)))
 
         cap = _bucket(n)
         parent_codes = jnp.asarray(sp_pad(bottom_codes, cap))

@@ -29,6 +29,10 @@ class Config(SimpleConfig):
                                     #  and the recurrent lossless-based EM,
                                     #  geo_lossl_em.py:20-400)
     hyper_channels: int = 8
+    hyper_net: str = 'conv'         # 'conv' (reference sparse-conv hyper
+                                    # nets, model.py:126-192) | 'mlp'
+    hyper_encoder_channels: Tuple[int, ...] = (16, 16, 16, 16)
+    hyper_decoder_channels: Tuple[int, ...] = (16, 16, 16, 16)
     em_tail_range: int = 32
     cand_capacity_factor: int = 8   # candidate buffer = factor * parent cap
 

@@ -236,6 +236,8 @@ class Model:
     """Public API: train_loss / compress(xyz, color) ->
     bytes / decompress(bytes) -> (xyz, rgb)."""
 
+    requires_point_feats = True     # harness packs per-point RGB features
+
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.bits = cfg.coord_bits
@@ -298,7 +300,8 @@ class Model:
                                jnp.int32(n),
                                jnp.asarray(sp_pad2(feats0, cap)),
                                self.bits, cap, self.compute_dtype)
-        bptr, buf, res_row, bottom_coords_d, count_b, targets, ok = out
+        (bptr, buf, res_row, bottom_coords_d, count_b, _e_coords, _e_count,
+         targets, ok) = out
         assert bool(ok), 'lossy_coord_lossy_color capacity overflow'
         blob = ir.stream_to_bytes(bptr, buf, self.cfg.coder_lanes)
         bn = int(count_b)

@@ -41,6 +41,7 @@ class Config(SimpleConfig):
     em_tail_range: int = 32
     coder_lanes: int = 256
     geo_cap_shrink_log2: int = 1
+    coord_mode: str = 'learned'    # color model always codes coords itself
 
     def check_local_value(self):
         if len(self.compressed_channels) == 1:

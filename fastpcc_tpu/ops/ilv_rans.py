@@ -71,7 +71,11 @@ def _scatter_window(words: jax.Array, emit: jax.Array, lanes: int):
     pos = c - 1                                            # [L], valid if emit
     tgt = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
     onehot = ((tgt == pos[None, :]) & emit[None, :]).astype(_F32)
-    window = onehot @ words.astype(_F32)[:, None]          # [L, 1]
+    window = jax.lax.dot(onehot, words.astype(_F32)[:, None],
+                         precision=jax.lax.Precision.HIGHEST)  # [L, 1]
+    # HIGHEST: one-hot selection of 16-bit word values must be exact; the
+    # TPU default matmul precision computes f32 dots in bf16 (8 mantissa
+    # bits), which corrupts any integer > 256.
     return window[:, 0].astype(jnp.int32), k
 
 
@@ -83,7 +87,8 @@ def _gather_window(window: jax.Array, need: jax.Array, lanes: int):
     k = c[-1]
     src = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
     onehot = ((src == (c - 1)[:, None]) & need[:, None]).astype(_F32)
-    words = onehot @ window.astype(_F32)[:, None]
+    words = jax.lax.dot(onehot, window.astype(_F32)[:, None],
+                        precision=jax.lax.Precision.HIGHEST)
     return words[:, 0].astype(jnp.uint32), k
 
 

@@ -149,15 +149,22 @@ def expand_children(parent_codes: jax.Array, parent_count: jax.Array,
     child = base[:, None] | jnp.arange(8, dtype=jnp.int64)[None]      # [N, 8]
     keep = bins_bool & (jnp.arange(n) < parent_count)[:, None]
     flat_keep = keep.reshape(-1)
-    pos = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
     cnt = jnp.sum(flat_keep.astype(jnp.int32))
-    scatter_idx = jnp.where(flat_keep, pos, capacity)
-    child_codes = jnp.full((capacity,), INVALID_CODE).at[scatter_idx].set(
-        child.reshape(-1), mode='drop')
-    parent_of_child = jnp.full((capacity,), n, jnp.int32).at[scatter_idx].set(
-        jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8), mode='drop')
-    octant_of_child = jnp.zeros((capacity,), jnp.int32).at[scatter_idx].set(
-        jnp.tile(jnp.arange(8, dtype=jnp.int32), n), mode='drop')
+    # compaction by SORT, not scatter: valid child codes are already globally
+    # ascending in flat (parent-major, octant-minor) order, so sorting with
+    # dropped entries keyed to INVALID_CODE reproduces the compaction exactly.
+    # TPU scatters serialize per update (72 ms at 1M updates vs 1 ms for the
+    # sort on v5e; see PERFNOTES.md round 2).
+    keys = jnp.where(flat_keep, child.reshape(-1), INVALID_CODE)
+    parent_flat = jnp.where(flat_keep,
+                            jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8), n)
+    oct_flat = jnp.where(flat_keep,
+                         jnp.tile(jnp.arange(8, dtype=jnp.int32), n), 0)
+    sk, sparent, soct = jax.lax.sort((keys, parent_flat, oct_flat),
+                                     num_keys=1, is_stable=False)
+    child_codes = pad_to(sk, capacity, INVALID_CODE)
+    parent_of_child = pad_to(sparent, capacity, n)
+    octant_of_child = pad_to(soct, capacity, 0)
     grid = VoxelGrid(codes=child_codes, count=cnt, bits=bits,
                      stride_log2=stride_log2)
     return grid, parent_of_child, octant_of_child
@@ -243,26 +250,49 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
     octant:          [N] child octant (code & 7)
     -> [N, 27] child neighbor rows (misses/invalid = N)
 
-    Pure gathers — replaces the 27-way binary search whose 17 x [N*27]
-    gather iterations dominated whole-frame time (1.9 s vs ~5 ms at 131k
-    rows on v5e; see PERFNOTES.md round 2)."""
+    Replaces the 27-way binary search whose 17 x [N*27] gather iterations
+    dominated whole-frame time (1.9 s vs ~5 ms at 131k rows on v5e). TPU
+    executes ROW gathers at HBM bandwidth but SCALAR-element gathers at
+    ~0.5 GB/s, so the two [N, 27] element gathers here are reformulated as
+    row gathers + per-octant one-hot matmuls / masked reductions (63 ms ->
+    21 ms at 131k rows; see PERFNOTES.md round 2). Index values stay < 2^24
+    so the f32 matmul permutation is exact."""
+    import numpy as np
     m = parent_table.shape[0]
     n = child_to_parent.shape[0]
     poff_np, osub_np = _octant_offset_luts()
-    poff = jnp.asarray(poff_np)
-    osub = jnp.asarray(osub_np)
     valid = jnp.arange(n) < child_count
-    # child row of (parent row, octant); miss -> n
-    scatter_idx = jnp.where(valid, child_to_parent * 8 + octant, m * 8)
-    row_map = jnp.full((m * 8,), n, jnp.int32).at[scatter_idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    # child row of (parent row, octant); miss -> n; row m is all-miss
+    scatter_idx = jnp.where(valid, child_to_parent * 8 + octant, (m + 1) * 8)
+    row_map2d = jnp.full(((m + 1) * 8,), n, jnp.int32).at[scatter_idx].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop').reshape(m + 1, 8)
     p = jnp.minimum(child_to_parent, m)
     oct_c = jnp.clip(octant, 0, 7)
     pt_ext = jnp.concatenate([parent_table, jnp.full((1, 27), m, jnp.int32)],
                              axis=0)
-    pn = pt_ext[p[:, None], poff[oct_c]]                  # [N, 27] parent rows
-    slot = jnp.minimum(pn, m - 1) * 8 + osub[oct_c]
-    rows = jnp.where(pn >= m, n, row_map[slot])
+    rowg_f = pt_ext[p].astype(jnp.float32)                # [N, 27] row gather
+    # pn[i, j] = rowg[i, poff[oct_i, j]]: per-octant one-hot column matmuls
+    pn_f = jnp.zeros((n, 27), jnp.float32)
+    for o in range(8):
+        perm = jnp.asarray((poff_np[o][None, :] ==
+                            np.arange(27)[:, None]).astype(np.float32))
+        pn_f = pn_f + jnp.where((oct_c == o)[:, None],
+                                jax.lax.dot(rowg_f, perm,
+                                            precision=jax.lax.Precision.HIGHEST,
+                                            preferred_element_type=jnp.float32),
+                                0.0)
+    pn = pn_f.astype(jnp.int32)
+    # rows[i, j] = row_map2d[pn[i, j], osub[oct_i, j]]: row gather of 8-wide
+    # rows, then per-octant masked column select
+    rm_f = row_map2d[jnp.minimum(pn, m).reshape(-1)] \
+        .reshape(n, 27, 8).astype(jnp.float32)
+    sel = jnp.zeros((n, 27), jnp.float32)
+    for o in range(8):
+        onehot = jnp.asarray((osub_np[o][:, None] ==
+                              np.arange(8)[None, :]).astype(np.float32))
+        sel = sel + jnp.where((oct_c == o)[:, None],
+                              (rm_f * onehot[None]).sum(-1), 0.0)
+    rows = jnp.where(pn >= m, n, sel.astype(jnp.int32))
     return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
 
 
@@ -335,13 +365,15 @@ def mask_compact(codes: jax.Array, mask: jax.Array, capacity: int):
     lossy_coord/generative_upsample.py:50,68)."""
     n = codes.shape[0]
     mask = mask & (codes != INVALID_CODE)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     cnt = jnp.sum(mask.astype(jnp.int32))
-    scatter_idx = jnp.where(mask, pos, capacity)
-    codes_out = jnp.full((capacity,), INVALID_CODE).at[scatter_idx].set(
-        codes, mode='drop')
-    gather_idx = jnp.full((capacity,), n, jnp.int32).at[scatter_idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    # sort-based compaction (codes are sorted and unique, so keying dropped
+    # rows to INVALID_CODE preserves order); TPU scatters serialize per
+    # update (see expand_children).
+    keys = jnp.where(mask, codes, INVALID_CODE)
+    src = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n)
+    sk, sg = jax.lax.sort((keys, src), num_keys=1, is_stable=False)
+    codes_out = pad_to(sk, capacity, INVALID_CODE)
+    gather_idx = pad_to(sg, capacity, n)
     return codes_out, cnt, gather_idx
 
 

@@ -32,30 +32,42 @@ def shard_batch(mesh: Mesh, *arrays):
 
 
 def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                       mesh: Mesh, grad_acc_steps: int = 1) -> Callable:
+                       mesh: Mesh, grad_acc_steps: int = 1,
+                       with_feats: bool = False) -> Callable:
     """Build a jitted DP train step with optional gradient accumulation.
 
-    loss_fn(params, codes, count, points_num, step) -> (loss, aux_dict).
-    The step takes per-device, per-microbatch stacked arrays:
-    codes [D, A, cap], counts [D, A], points_num [D, A, B_local], and a
-    scalar training step. Gradients are averaged over the A microbatches
+    loss_fn(params, codes, count, points_num, step) -> (loss, aux_dict), or
+    with_feats=True: loss_fn(params, codes, count, feats, points_num, step)
+    (per-point features such as RGB ride a [D, A, cap, C] array — the color
+    model's training path). The step takes per-device, per-microbatch stacked
+    arrays: codes [D, A, cap], counts [D, A], points_num [D, A, B_local], and
+    a scalar training step. Gradients are averaged over the A microbatches
     (lax.scan, the analog of the reference's no_sync accumulation,
     reference: train.py:382-404) and pmean'd over the 'dp' axis.
     """
 
-    def local_step(params, opt_state, codes, counts, points_num, step):
+    def local_step(params, opt_state, codes, counts, points_num, step,
+                   feats=None):
         codes, counts, points_num = codes[0], counts[0], points_num[0]
+        if feats is not None:
+            feats = feats[0]
 
         def micro(carry, xs):
             g_acc, l_acc = carry
-            c, n, pn = xs
-            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, c, n, pn, step)
+            if with_feats:
+                c, n, f, pn = xs
+                (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, c, n, f, pn, step)
+            else:
+                c, n, pn = xs
+                (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, c, n, pn, step)
             return (jax.tree.map(jnp.add, g_acc, g), l_acc + loss), aux
 
         g0 = jax.tree.map(jnp.zeros_like, params)
-        (grads, loss_sum), auxs = jax.lax.scan(
-            micro, (g0, 0.0), (codes, counts, points_num))
+        xs = (codes, counts, feats, points_num) if with_feats \
+            else (codes, counts, points_num)
+        (grads, loss_sum), auxs = jax.lax.scan(micro, (g0, 0.0), xs)
         inv = 1.0 / grad_acc_steps
         grads = jax.tree.map(lambda g: g * inv, grads)
         loss = loss_sum * inv
@@ -68,9 +80,12 @@ def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformatio
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
+    in_specs = [P(), P(), P('dp'), P('dp'), P('dp'), P()]
+    if with_feats:
+        in_specs.append(P('dp'))
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), P(), P('dp'), P('dp'), P('dp'), P()),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P(), P(), P()),
         check_rep=False)
     return jax.jit(sharded, donate_argnums=(0, 1))

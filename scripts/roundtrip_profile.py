@@ -33,7 +33,7 @@ def main():
     print('lossless:', bool(out[1]))
 
 
-if __name__ == '__main__':
+if __name__ == '__main__' and len(sys.argv) == 1:
     main()
 
 def breakdown():
@@ -74,3 +74,41 @@ def breakdown():
 
 if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'breakdown':
     breakdown()
+
+def topops():
+    """Top individual XLA ops by total device time (full names)."""
+    import numpy as np, glob, time
+    import jax, jax.numpy as jnp
+    from fastpcc_tpu.models.lossl_coord import Config
+    from fastpcc_tpu.models.lossl_coord.model import Model, _bucket, sp_pad_codes
+    from fastpcc_tpu.data.datasets.Synthetic import synthetic_lidar_scan
+    from fastpcc_tpu.ops.morton import np_morton_encode
+    from fastpcc_tpu.utils.xplane import parse_xplane
+    cfg = Config(); cfg.channels = int(os.environ.get('BENCH_CH', '128'))
+    cfg.coord_bits = 16; cfg.check()
+    model = Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rt = jax.jit(model._traced_roundtrip)
+    xyz = synthetic_lidar_scan(seed=1, resolution=65536)
+    codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
+    cap = _bucket(len(codes))
+    dev = (jnp.asarray(sp_pad_codes(codes, cap)), jnp.int32(len(codes)))
+    out = rt(params, *dev); jax.block_until_ready(out); time.sleep(1)
+    logdir = f'/tmp/rt_topops_{time.time_ns()}'
+    with jax.profiler.trace(logdir):
+        out = rt(params, *dev)
+        jax.block_until_ready(out)
+    agg = {}
+    for path in glob.glob(os.path.join(logdir, '**', '*.xplane.pb'), recursive=True):
+        for pname, evs in parse_xplane(path).items():
+            if 'TPU' not in pname: continue
+            for line, name, dur in evs:
+                if line != 'XLA Ops': continue
+                agg.setdefault(name, [0, 0.0])
+                agg[name][0] += 1; agg[name][1] += dur/1e9
+    for k, (c, t) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:25]:
+        print(f'{t:9.1f} ms  n={c:6d}  {k[:140]}')
+    os.system(f'rm -rf {logdir}')
+
+if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'topops':
+    topops()

@@ -39,22 +39,35 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
     if isinstance(partition_cap, (tuple, list)):
         partition_cap = partition_cap[0] if partition_cap else 0
 
+    with_feats = bool(getattr(model, 'requires_point_feats', False))
     for i in range(len(dataset)):
         sample = dataset[i]
         xyz = sample['xyz']
+        color = sample.get('color') if with_feats else None
+        if with_feats and color is None:
+            raise ValueError(f'{cfg.model_module_path} needs per-point RGB '
+                             f'but the dataset sample has none')
         if partition_cap and len(xyz) > partition_cap:
-            from fastpcc_tpu.data.kd_partition import kd_tree_partition
-            parts = kd_tree_partition(xyz, partition_cap)
+            from fastpcc_tpu.data.kd_partition import kd_tree_partition_idx
+            idx_parts = kd_tree_partition_idx(xyz, partition_cap)
         else:
-            parts = [xyz]
+            idx_parts = [np.arange(len(xyz))]
+        parts = [xyz[ix] for ix in idx_parts]
+        cparts = [color[ix] for ix in idx_parts] if with_feats else \
+            [None] * len(parts)
+
+        def _compress(p, c):
+            return model.compress(params, p, c) if with_feats \
+                else model.compress(params, p)
 
         with Timer() as enc_t, DeviceMemoryMonitor() as enc_m:
             if len(parts) == 1:
-                blob = model.compress(params, parts[0])
+                blob = _compress(parts[0], cparts[0])
             else:
                 blob = b''.join(
                     len(b).to_bytes(3, 'little') + b
-                    for b in (model.compress(params, p) for p in parts))
+                    for b in (_compress(p, c)
+                              for p, c in zip(parts, cparts)))
         with Timer() as dec_t, DeviceMemoryMonitor() as dec_m:
             if len(parts) == 1:
                 recon = model.decompress(params, blob)
@@ -65,8 +78,13 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
                     chunks.append(model.decompress(params,
                                                    blob[pos + 3:pos + 3 + ln]))
                     pos += 3 + ln
-                recon = np.concatenate(chunks, 0)
+                recon = tuple(np.concatenate(c, 0) for c in zip(*chunks)) \
+                    if isinstance(chunks[0], tuple) else \
+                    np.concatenate(chunks, 0)
 
+        recon_color = None
+        if isinstance(recon, tuple):
+            recon, recon_color = recon
         recon = recon.astype(np.float64)
         if sample.get('inv_transform') is not None:
             inv = sample['inv_transform']
@@ -76,6 +94,7 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
             pred=recon, org_points_num=sample['org_points_num'],
             compressed_bytes=blob, file_path=sample['file_path'],
             resolution=sample['resolution'], results_dir=results_dir,
+            pred_color=recon_color,
             extra_info_dict={
                 'encode time': enc_t.elapsed_time,
                 'encode memory': enc_m.max_memory_allocated_kb,

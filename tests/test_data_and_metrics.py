@@ -140,3 +140,29 @@ def test_color_psnr_metric(tmp_path):
     assert 20 < out2['c[0],PSNRF'] < 60
     assert out2['c[3],PSNRF'] == (6 * out2['c[0],PSNRF'] + out2['c[1],PSNRF']
                                   + out2['c[2],PSNRF']) / 8
+
+
+def test_kd_partition_idx_alignment():
+    from fastpcc_tpu.data.kd_partition import (
+        kd_tree_partition, kd_tree_partition_idx,
+        kd_tree_partition_randomly, kd_tree_partition_randomly_idx)
+    rng = np.random.default_rng(3)
+    xyz = rng.integers(0, 512, (5000, 3)).astype(np.int32)
+    parts = kd_tree_partition(xyz, 800)
+    idxs = kd_tree_partition_idx(xyz, 800)
+    assert len(parts) == len(idxs)
+    for p, ix in zip(parts, idxs):
+        assert np.array_equal(p, xyz[ix])
+    assert sorted(np.concatenate(idxs).tolist()) == list(range(len(xyz)))
+    r1 = kd_tree_partition_randomly(xyz, 700, np.random.default_rng(5))
+    ix = kd_tree_partition_randomly_idx(xyz, 700, np.random.default_rng(5))
+    assert np.array_equal(r1, xyz[ix]) and len(ix) <= 700
+
+
+def test_synthetic_color_dataset():
+    from fastpcc_tpu.data.datasets.Synthetic import Dataset, Config
+    ds = Dataset(Config(kind='surface', num_samples=1, resolution=256,
+                        with_color=True), False)
+    s = ds[0]
+    assert s['color'].shape == (len(s['xyz']), 3)
+    assert s['color'].dtype == np.uint8

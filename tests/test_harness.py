@@ -52,3 +52,29 @@ def test_train_then_test(tmp_path, monkeypatch):
     assert metrics['bpp'] > 0
     assert metrics['input_points_num'] == metrics['output_points_num'], \
         'lossless model must reconstruct exactly'
+
+
+@pytest.mark.slow
+def test_color_train_then_test(tmp_path, monkeypatch):
+    """Joint geometry+color model through the full harness: per-point RGB
+    features flow dataset -> pc_batch_to_codes -> with_feats DP step, and
+    test.py routes (xyz, rgb) reconstructions into the evaluator."""
+    monkeypatch.chdir(tmp_path)
+
+    import train as train_mod
+    import test as test_mod
+
+    cfg_path = osp.join(REPO, 'config/lossy_coord_lossy_color/smoke.yaml')
+    overrides = ['train.num_workers=0']
+    train_mod.main([cfg_path] + overrides)
+
+    ckpts = sorted(glob.glob('runs/train_color_smoke_*/ckpts/*.pt'))
+    assert ckpts, 'no checkpoint written'
+
+    test_mod.main([cfg_path] + overrides + [f'test.from_ckpt={ckpts[-1]}'])
+    metric_files = glob.glob('runs/test_color_smoke_*/results/mean_metric.json')
+    assert metric_files
+    with open(metric_files[0]) as f:
+        metrics = json.load(f)
+    assert metrics['bpp'] > 0
+    assert metrics['output_points_num'] > 0

@@ -136,6 +136,7 @@ def main(argv: List[str]):
     if cfg.train.ema:
         ema_params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
 
+    with_feats = bool(getattr(model, 'requires_point_feats', False))
     acc = max(cfg.train.grad_acc_steps, 1)
     if cfg.train.data_parallel:
         n_dev = cfg.train.data_parallel
@@ -147,7 +148,8 @@ def main(argv: List[str]):
                          max(cfg.train.batch_size // acc, 1))
     mesh = make_mesh(n_dev)
     local_bs = cfg.train.batch_size // (n_dev * acc)
-    step_fn = make_dp_train_step(model.train_loss, tx, mesh, acc)
+    step_fn = make_dp_train_step(model.train_loss, tx, mesh, acc,
+                                 with_feats=with_feats)
     logger.info(f'data parallel over {n_dev} device(s), '
                 f'{acc} microbatch(es) x {local_bs} sample(s)/device')
 
@@ -166,19 +168,28 @@ def main(argv: List[str]):
             for a in range(acc):
                 lo = (d * acc + a) * local_bs
                 samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
-                pc = pc_batch_to_codes([s['xyz'] for s in samples], bits)
+                pc = pc_batch_to_codes(
+                    [s['xyz'] for s in samples], bits,
+                    feats_list=[s['color'] for s in samples]
+                    if with_feats else None)
                 pcs[d][a] = pc
                 cap = max(cap, len(pc.codes))
         dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
         dev_counts = np.zeros((n_dev, acc), np.int32)
         dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
+        dev_feats = None
         for d in range(n_dev):
             for a in range(acc):
                 pc = pcs[d][a]
                 dev_codes[d, a, :len(pc.codes)] = pc.codes
                 dev_counts[d, a] = pc.count
                 dev_pn[d, a] = pc.points_num
-        return dev_codes, dev_counts, dev_pn
+                if with_feats:
+                    if dev_feats is None:
+                        dev_feats = np.zeros(
+                            (n_dev, acc, cap, pc.color.shape[-1]), np.float32)
+                    dev_feats[d, a, :len(pc.color)] = pc.color
+        return dev_codes, dev_counts, dev_pn, dev_feats
 
     import collections
     import concurrent.futures
@@ -202,13 +213,23 @@ def main(argv: List[str]):
                     pending.append(pool.submit(build_batch,
                                                slices[next_submit]))
                     next_submit += 1
-                dev_codes, dev_counts, dev_pn = pending.popleft().result()
+                dev_codes, dev_counts, dev_pn, dev_feats = \
+                    pending.popleft().result()
             else:
-                dev_codes, dev_counts, dev_pn = build_batch(slices[it])
-            codes, counts, pn = shard_batch(mesh, dev_codes, dev_counts,
-                                            dev_pn)
-            params, opt_state, loss, aux = step_fn(
-                params, opt_state, codes, counts, pn, np.int32(global_step))
+                dev_codes, dev_counts, dev_pn, dev_feats = \
+                    build_batch(slices[it])
+            if with_feats:
+                codes, counts, pn, feats = shard_batch(
+                    mesh, dev_codes, dev_counts, dev_pn, dev_feats)
+                params, opt_state, loss, aux = step_fn(
+                    params, opt_state, codes, counts, pn,
+                    np.int32(global_step), feats)
+            else:
+                codes, counts, pn = shard_batch(mesh, dev_codes, dev_counts,
+                                                dev_pn)
+                params, opt_state, loss, aux = step_fn(
+                    params, opt_state, codes, counts, pn,
+                    np.int32(global_step))
             global_step += 1
             if cfg.train.ema:
                 d = ema_decay(global_step, cfg.train.ema_decay,
