@@ -120,10 +120,16 @@ def _enc_pairs(cdf_rows: jax.Array, symbols: jax.Array):
     return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=('bits', 'max_down'))
-def _build_pyramid(codes, count, bits: int, max_down: int):
+@functools.partial(jax.jit, static_argnames=('bits', 'max_down', 'caps'))
+def _build_pyramid(codes, count, bits: int, max_down: int, caps=None):
     """Full bin pyramid in one program: per scale s in 1..max_down returns
-    (codes, count, bins, child_to_parent, child_octant, symbols)."""
+    (codes, count, bins, child_to_parent, child_octant, symbols).
+
+    caps: optional static per-scale row capacities (caps[s] for scale s,
+    non-increasing). LiDAR counts stay ~flat for the first ~6 scales then
+    collapse 8x/scale; slicing each scale to its bucketed capacity removes
+    the full-resolution padded cost from every coarse scale (the arrays are
+    sorted valid-first, so a prefix slice is exact)."""
     out = []
     g = sp.VoxelGrid(codes=codes, count=jnp.asarray(count, jnp.int32),
                      bits=bits, stride_log2=0)
@@ -131,9 +137,14 @@ def _build_pyramid(codes, count, bits: int, max_down: int):
         octant = (g.codes & 7).astype(jnp.int32)
         parent, bins, c2p = sp.downsample_with_bins(g.codes, g.count, bits,
                                                     g.stride_log2)
+        pc = parent.codes
+        if caps is not None and caps[s] < pc.shape[0]:
+            pc = pc[:caps[s]]
+            bins = bins[:caps[s]]
         syms = sp.octant_symbols(bins)
-        out.append((parent.codes, parent.count, bins, c2p, octant, syms))
-        g = parent
+        out.append((pc, parent.count, bins, c2p, octant, syms))
+        g = sp.VoxelGrid(codes=pc, count=parent.count, bits=bits,
+                         stride_log2=parent.stride_log2)
     return tuple(out)
 
 
@@ -181,8 +192,11 @@ class Model:
         # Whole-frame single-program paths: this environment's runtime
         # degrades to ~2s per *executed program* after the first host
         # transfer, so encode and decode each trace into ONE program.
-        self._mega_encode = jax.jit(self._traced_encode)
-        self._mega_decode = jax.jit(self._traced_decode)
+        self._mega_encode = jax.jit(self._traced_encode,
+                                    static_argnums=(3,))
+        self._mega_decode = jax.jit(self._traced_decode,
+                                    static_argnums=(4,))
+        self._dec_caps = None
         # uniform side CDF for bottom-coordinate CDF-row transmission
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
@@ -382,14 +396,15 @@ class Model:
         plus coder overhead."""
         return ir.word_capacity_for(2 * cap, self.cfg.coder_lanes)
 
-    def _traced_encode(self, params, codes, count):
+    def _traced_encode(self, params, codes, count, caps=None):
         """Whole encode as one traceable function: pyramid, all per-scale
-        NNs + CDFs + pair gathers, and the full interleaved rANS encode."""
+        NNs + CDFs + pair gathers, and the full interleaved rANS encode.
+        caps: optional static per-scale capacities (see _scale_caps)."""
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
             cap = codes.shape[0]
-            pyramid = _build_pyramid(codes, count, self.bits, top)
+            pyramid = _build_pyramid(codes, count, self.bits, top, caps)
             states: Dict[int, _ScaleState] = {
                 0: _ScaleState(codes, count, None)}
             for s in range(1, top + 1):
@@ -414,7 +429,24 @@ class Model:
         finally:
             self.profile = prof
 
-    def _traced_decode(self, params, bottom_codes, bottom_count, stream):
+    def _scale_caps(self, codes_np: np.ndarray, cap: int):
+        """Static per-scale row capacities from the host-side counts
+        (power-of-2 buckets, non-increasing, floor 128). Transmitted in the
+        device-coder header so the decoder compiles the same shapes. With a
+        flat capacity every coarse scale paid full-resolution cost although
+        LiDAR counts collapse 8x/scale above ~scale 7."""
+        top = self.max_down - self.cfg.skip_top_scales_num
+        caps = [cap]
+        c = codes_np
+        for s in range(1, top + 1):
+            c = np.unique(c >> 3)
+            caps.append(min(caps[-1],
+                            max(1 << int(math.ceil(math.log2(max(len(c), 1)))),
+                                128)))
+        return tuple(caps)
+
+    def _traced_decode(self, params, bottom_codes, bottom_count, stream,
+                       caps=None):
         """Whole decode as one traceable function: all scales' NNs, rANS
         symbol decoding, child expansion, and the final coordinate decode."""
         prof, self.profile = self.profile, False
@@ -424,6 +456,7 @@ class Model:
                                       self.cfg.coder_lanes)
             self._rans = (rs, ptr, stream)
             self._use_device_decode = True
+            self._dec_caps = caps
             states = {top: _ScaleState(bottom_codes, bottom_count, None)}
             states[top].table = self._top_table(bottom_codes, bottom_count,
                                                 top)
@@ -432,15 +465,16 @@ class Model:
             return masked_decode(states[0].codes, self.bits)
         finally:
             self.profile = prof
+            self._dec_caps = None
 
-    def _traced_roundtrip(self, params, codes, count):
+    def _traced_roundtrip(self, params, codes, count, caps=None):
         """Encode then decode entirely on device: the decoder reads the
         encoder's word buffer forward from its final back-pointer — zero
         host involvement. Returns (decoded coords, lossless flag, total
         stream bytes). Used for loopback verification and for artifact-free
         throughput measurement (see PERFNOTES.md)."""
         bptr, buf, bottom_coords, bcount = \
-            self._traced_encode(params, codes, count)
+            self._traced_encode(params, codes, count, caps)
         from ...ops.morton import morton_encode
         bottom_codes = jnp.where(
             jnp.arange(bottom_coords.shape[0]) < bcount,
@@ -452,6 +486,7 @@ class Model:
             rs, ptr = ir.init_decoder(buf, bptr, self.cfg.coder_lanes)
             self._rans = (rs, ptr, buf)
             self._use_device_decode = True
+            self._dec_caps = caps
             states = {top: _ScaleState(bottom_codes, bcount, None)}
             states[top].table = self._top_table(bottom_codes, bcount, top)
             self._run_scales(params, states, top, symbols_of=None,
@@ -459,6 +494,7 @@ class Model:
         finally:
             self.profile = prof
             self._use_device_decode = self.cfg.device_coder
+            self._dec_caps = None
         final = states[0]
         coords = masked_decode(final.codes, self.bits)
         valid = jnp.arange(codes.shape[0]) < count
@@ -469,12 +505,14 @@ class Model:
     def device_roundtrip(self, params: Dict, xyz: np.ndarray):
         """Host wrapper for the loopback path -> (recon xyz, lossless, bytes)."""
         if not hasattr(self, '_mega_roundtrip'):
-            self._mega_roundtrip = jax.jit(self._traced_roundtrip)
+            self._mega_roundtrip = jax.jit(self._traced_roundtrip,
+                                           static_argnums=(3,))
         offset, codes_np = self._prep_xyz(xyz)
         cap = _bucket(len(codes_np))
         codes = jnp.asarray(sp_pad_codes(codes_np, cap))
         coords, ok, nbytes = self._mega_roundtrip(
-            params, codes, jnp.int32(len(codes_np)))
+            params, codes, jnp.int32(len(codes_np)),
+            self._scale_caps(codes_np, cap))
         return (np.asarray(coords)[:len(codes_np)] + offset[None],
                 bool(ok), int(nbytes))
 
@@ -487,9 +525,10 @@ class Model:
         top = self.max_down - self.cfg.skip_top_scales_num
         if self.cfg.device_coder:
             codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+            caps = self._scale_caps(codes_np, cap)
             t0 = time.perf_counter()
             bptr, buf, bottom_coords_dev, bcount = self._mega_encode(
-                params, codes, jnp.int32(n))
+                params, codes, jnp.int32(n), caps)
             if self.profile:
                 jax.block_until_ready(buf)
             self._prof('mega_encode', t0)
@@ -507,6 +546,10 @@ class Model:
                 bs.write(bottom_n.to_bytes(4, 'little'))
                 bs.write(n.to_bytes(4, 'little'))
                 bs.write(k.to_bytes(4, 'little'))
+                # per-scale capacities: decoder must compile identical shapes
+                bs.write(bytes([len(caps)]))
+                for c in caps:
+                    bs.write(int(c).to_bytes(3, 'little'))
                 bs.write(len(blob).to_bytes(4, 'little'))
                 bs.write(blob)
                 bs.write(enc.flush())
@@ -732,8 +775,11 @@ class Model:
                 syms_host.astype(np.int64), cap, fill=0)).astype(jnp.int32)
             child_n = int(np.unpackbits(
                 (syms_host.astype(np.uint16) + 1).view(np.uint8)).sum())
+        child_cap = self._dec_caps[idx - 1] \
+            if getattr(self, '_dec_caps', None) is not None else cap
         bins_f, child_codes, child_count, p_of_c, oct_of_c = \
-            _expand_from_symbols(st.codes, st.count, syms, self.bits, cap)
+            _expand_from_symbols(st.codes, st.count, syms, self.bits,
+                                 child_cap)
         st.bins = bins_f
         child = _ScaleState(child_codes, child_count, child_n)
         child.c2p, child.octant = p_of_c, oct_of_c
@@ -752,7 +798,11 @@ class Model:
             bottom_n = int.from_bytes(bs.read(4), 'little')
             org_n = int.from_bytes(bs.read(4), 'little')
             k = int.from_bytes(bs.read(4), 'little')
+            caps = None
             if fmt == 1:
+                n_caps = bs.read(1)[0]
+                caps = tuple(int.from_bytes(bs.read(3), 'little')
+                             for _ in range(n_caps))
                 blob_len = int.from_bytes(bs.read(4), 'little')
                 blob = bs.read(blob_len)
             else:
@@ -772,8 +822,8 @@ class Model:
                                              self.cfg.coder_lanes)
             t0 = time.perf_counter()
             coords_dev = self._mega_decode(
-                params, jnp.asarray(sp_pad_codes(codes_np, cap)),
-                jnp.int32(bottom_n), words)
+                params, jnp.asarray(sp_pad_codes(codes_np, caps[top])),
+                jnp.int32(bottom_n), words, caps)
             xyz = np.asarray(coords_dev)[:org_n]
             self._prof('mega_decode', t0)
             return xyz + offset[None]

@@ -19,12 +19,13 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip)
+    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
 
     xyz = synthetic_lidar_scan(seed=1, resolution=65536)
     codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
     cap = _bucket(len(codes))
-    dev = (jnp.asarray(sp_pad_codes(codes, cap)), jnp.int32(len(codes)))
+    caps = model._scale_caps(codes, cap)
+    dev = (jnp.asarray(sp_pad_codes(codes, cap)), jnp.int32(len(codes)), caps)
     n = len(codes)
     ms, c = trace_ms(rt, params, *dev, iters=2)
     print(f'roundtrip {n} pts ch{cfg.channels}: {ms:.1f} ms/exec ({c} execs) '
