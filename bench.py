@@ -58,7 +58,7 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip)
+    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
 
     clouds = []
     cap = 0
@@ -67,7 +67,11 @@ def main():
         codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
         cap = max(cap, _bucket(len(codes)))
         clouds.append(codes)
-    dev = [(jnp.asarray(sp_pad_codes(c, cap)), jnp.int32(len(c)))
+    # shared static per-scale caps across the bench clouds (compile once)
+    caps_list = [model._scale_caps(c, cap) for c in clouds]
+    caps = tuple(max(cs[s] for cs in caps_list)
+                 for s in range(len(caps_list[0])))
+    dev = [(jnp.asarray(sp_pad_codes(c, cap)), jnp.int32(len(c)), caps)
            for c in clouds]
     n_points = [len(c) for c in clouds]
 

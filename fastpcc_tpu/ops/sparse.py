@@ -110,9 +110,11 @@ def downsample_with_bins(codes: jax.Array, count: jax.Array, bits: int,
     first = valid & (parent != prev)
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1          # parent row per child
     m = jnp.sum(first.astype(jnp.int32))
-    scatter_idx = jnp.where(first, pos, n)                  # n -> dropped
-    parent_codes_out = jnp.full((n,), INVALID_CODE).at[scatter_idx].set(
-        parent, mode='drop')
+    # parent compaction by sort (parents are ascending over first-flagged
+    # children); int64 scatters cost ~16 ms/scale on TPU vs ~1 ms for the
+    # sort (see expand_children)
+    parent_codes_out = jax.lax.sort(
+        jnp.where(first, parent, INVALID_CODE), is_stable=False)
     octant = (codes & 7).astype(jnp.int32)
     bin_scatter = jnp.where(valid, pos * 8 + octant, n * 8)
     bins = jnp.zeros((n * 8,), jnp.float32).at[bin_scatter].set(
@@ -283,15 +285,14 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
                                 0.0)
     pn = pn_f.astype(jnp.int32)
     # rows[i, j] = row_map2d[pn[i, j], osub[oct_i, j]]: row gather of 8-wide
-    # rows, then per-octant masked column select
+    # rows, then one masked column reduce (the per-child one-hot mask is a
+    # row gather of the 8-pattern LUT — one pass instead of 8 octant passes)
     rm_f = row_map2d[jnp.minimum(pn, m).reshape(-1)] \
         .reshape(n, 27, 8).astype(jnp.float32)
-    sel = jnp.zeros((n, 27), jnp.float32)
-    for o in range(8):
-        onehot = jnp.asarray((osub_np[o][:, None] ==
-                              np.arange(8)[None, :]).astype(np.float32))
-        sel = sel + jnp.where((oct_c == o)[:, None],
-                              (rm_f * onehot[None]).sum(-1), 0.0)
+    onehot_all = jnp.asarray(
+        (osub_np[:, :, None] == np.arange(8)[None, None, :])
+        .astype(np.float32))                               # [8, 27, 8]
+    sel = (rm_f * onehot_all[oct_c]).sum(-1)
     rows = jnp.where(pn >= m, n, sel.astype(jnp.int32))
     return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
 

@@ -14,3 +14,10 @@ jax.config.update('jax_platforms', 'cpu')
 
 # true f32 matmuls for numeric comparisons
 jax.config.update('jax_default_matmul_precision', 'highest')
+
+# The persistent compilation cache segfaults this jaxlib while serializing
+# the largest e2e executables (observed: SIGSEGV inside
+# compilation_cache.put_executable_and_time at ~test 107 of the full suite,
+# twice, same spot; individual files pass). Tests don't benefit from it —
+# disable.
+jax.config.update('jax_enable_compilation_cache', False)
