@@ -110,13 +110,19 @@ def _cdf_rows(logits: jax.Array) -> jax.Array:
 
 @jax.jit
 def _enc_pairs(cdf_rows: jax.Array, symbols: jax.Array):
-    """Per-symbol (start, freq) uint16 pairs for the word coder."""
-    s = jnp.clip(symbols, 0, cdf_rows.shape[-1] - 1)
-    row = jnp.arange(cdf_rows.shape[0])
-    end = jnp.where(s == cdf_rows.shape[-1] - 1, 65536,
-                    cdf_rows[row, s].astype(jnp.int32))
-    start = jnp.where(s == 0, 0, cdf_rows[row, jnp.maximum(s - 1, 0)]
-                      .astype(jnp.int32))
+    """Per-symbol (start, freq) uint16 pairs for the word coder.
+
+    In-row selection as a one-hot masked reduce (VPU, exact single-term
+    sums) — the [N] 2-D scalar gather costs ~2.8 ms at 131k x 255 on v5e
+    vs ~1 ms for the fused elementwise pass."""
+    ncls = cdf_rows.shape[-1]
+    s = jnp.clip(symbols, 0, ncls - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, cdf_rows.shape, 1)
+    rows_i32 = cdf_rows.astype(jnp.int32)
+    end = jnp.where(s == ncls - 1, 65536,
+                    jnp.where(lane == s[:, None], rows_i32, 0).sum(-1))
+    start = jnp.where(s == 0, 0,
+                      jnp.where(lane == (s - 1)[:, None], rows_i32, 0).sum(-1))
     return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
 
 
@@ -607,6 +613,13 @@ class Model:
                              c2p, octant)
 
     def _nn_cdf(self, logits):
+        # pallas kernel on TPU (2.7x: one VMEM pass, no [N, 255] f32 HBM
+        # intermediates); jnp elsewhere. Encoder and decoder both run this
+        # hook on the same backend, so the quantized tables agree bit-exactly
+        # (cross-BACKEND decode needs the integer model, as in the reference).
+        if jax.default_backend() == 'tpu':
+            from ...ops.pallas_cdf import cdf_rows_pallas
+            return cdf_rows_pallas(logits)
         return _cdf_rows(logits)
 
     def _top_table_cap(self, cap: int, top: int, batch_hint: int = 1) -> int:
