@@ -80,18 +80,18 @@ def _osp_upsample(channels, if_upsample, allow_single_ch, params, dec_feats,
                      oct_of_c, method=OneScalePredictor.upsample)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _ms_root(channels, pred_steps, params, feats, root_table, bins_root,
-             embed_dense):
-    mod = OneScaleMultiStepPredictor(channels, pred_steps)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _ms_root(channels, pred_steps, fea_prop, params, feats, root_table,
+             bins_root, embed_dense):
+    mod = OneScaleMultiStepPredictor(channels, pred_steps, fea_prop)
     return mod.apply({'params': params}, feats, root_table, bins_root,
                      embed_dense, method=OneScaleMultiStepPredictor.root_feats)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _ms_chain(channels, pred_steps, params, root_out, tables, select_maps,
-              cat_bins):
-    mod = OneScaleMultiStepPredictor(channels, pred_steps)
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _ms_chain(channels, pred_steps, fea_prop, params, root_out, tables,
+              select_maps, cat_bins):
+    mod = OneScaleMultiStepPredictor(channels, pred_steps, fea_prop)
     return mod.apply({'params': params}, root_out, tables, select_maps,
                      cat_bins, method=OneScaleMultiStepPredictor.chain_logits)
 
@@ -276,7 +276,8 @@ class Model:
             c2p_s, oct_s = pyramid[s][3], pyramid[s][4]
             cnt_s = pyramid[s - 1][1]
             tables[s] = sp.child_table_from_parent(tables[s + 1], c2p_s,
-                                                   oct_s, cnt_s)
+                                                   oct_s, cnt_s,
+                                                   pyramid[s][1])
 
         def table(s):
             return tables[s]
@@ -301,7 +302,8 @@ class Model:
         loss_dict = {}
         for idx in range(self.max_down, 0, -1):
             if not self.cfg.feature_propagation:
-                feats = jnp.ones((cap, 1), self.compute_dtype)
+                feats = jnp.ones((scale(idx)[0].shape[0], 1),
+                                 self.compute_dtype)
             name, mod = self._block_info(idx, self.max_down)
             p = params[name]
             _, _, bins_i, c2p_i, oct_i, _ = scale(idx)
@@ -654,7 +656,7 @@ class Model:
         for s in range(top - 1, 0, -1):
             states[s].table = sp.child_table_from_parent(
                 states[s + 1].table, states[s].c2p, states[s].octant,
-                states[s].count)
+                states[s].count, states[s + 1].count)
 
     def _table(self, state: _ScaleState, s: int):
         if state.table is None:
@@ -678,7 +680,10 @@ class Model:
         collected = []
         for idx in range(top, 0, -1):
             if not self.cfg.feature_propagation:
-                feats = jnp.ones((cap, 1), self.compute_dtype)
+                # fresh ones sized to THIS scale's capacity (caps grow toward
+                # fine scales at decode time)
+                feats = jnp.ones((states[idx].codes.shape[0], 1),
+                                 self.compute_dtype)
             name, mod = self._block_info(idx, top)
             p = params[name]
             if isinstance(mod, OneScalePredictor):
@@ -715,8 +720,8 @@ class Model:
                         src.codes, src.count,
                         src.bins.astype(self.compute_dtype), anc_rows,
                         states[r].codes.shape[0], k - 2)
-                root_out = _ms_root(ch, k, p, feats,
-                                    self._table(states[r], r),
+                root_out = _ms_root(ch, k, self.cfg.feature_propagation, p,
+                                    feats, self._table(states[r], r),
                                     states[r].bins, embed_dense)
                 chain_tables = tuple(self._table(states[r - i], r - i)
                                      for i in range(k))
@@ -725,8 +730,9 @@ class Model:
                     for i in range(k - 1))
                 cat_bins = tuple([states[r - i].bins for i in range(1, k - 1)]
                                  + [None])
-                logits = _ms_chain(ch, k, p, root_out, chain_tables,
-                                   select_maps, cat_bins)
+                logits = _ms_chain(ch, k, self.cfg.feature_propagation, p,
+                                   root_out, chain_tables, select_maps,
+                                   cat_bins)
                 self._code_scale(idx, logits, states, symbols_of,
                                  decode_scale, collected)
                 feats = root_out
@@ -798,7 +804,8 @@ class Model:
         child.c2p, child.octant = p_of_c, oct_of_c
         if idx > 1:   # scale-0 tables are never used
             child.table = sp.child_table_from_parent(
-                self._table(st, idx), p_of_c, oct_of_c, child_count)
+                self._table(st, idx), p_of_c, oct_of_c, child_count,
+                st.count)
         states[idx - 1] = child
         return bins_f
 

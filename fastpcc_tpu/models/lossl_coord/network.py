@@ -22,13 +22,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...nn.blocks import PReLU, ResBlock, SparseConv3x3, StridedOctantConv
+from ...nn.blocks import (OctantSelectDense, PDense, PReLU, ResBlock,
+                          SparseConv3x3, SplitDense, StridedOctantConv)
 from ...ops.sparse import gather_padded
 
 
 class OneScalePredictor(nn.Module):
     """Predict one scale's octant symbols and upsample features to children
-    (reference: lossl_coord/model.py:30-121)."""
+    (reference: lossl_coord/model.py:30-121).
+
+    All pointwise layers compute in the activation dtype (bf16 by default) —
+    round-3 traces showed flax Dense's f32 promotion materializing f32
+    [N, 8*ch] HBM intermediates that dominated the full-resolution scales.
+    The ch->8*ch upsample head + child selection is fused (OctantSelectDense)
+    and concat inputs use split matmuls (SplitDense); both are param-tree
+    compatible with the unfused layers."""
     channels: int
     if_upsample: bool = True
     allow_single_ch: bool = False
@@ -39,12 +47,12 @@ class OneScalePredictor(nn.Module):
         self.dec = ResBlock(self.channels)
         self.pred_conv = SparseConv3x3(self.channels)
         self.pred_act = PReLU()
-        self.pred_out = nn.Dense(255, param_dtype=jnp.float32)
+        self.pred_out = PDense(255)
         if self.if_upsample:
-            self.up_in = nn.Dense(self.channels, param_dtype=jnp.float32)
+            self.up_in = SplitDense(self.channels)
             self.up_act = PReLU()
             self.up_block = ResBlock(self.channels)
-            self.up_out = nn.Dense(self.channels * 8, param_dtype=jnp.float32)
+            self.up_out = OctantSelectDense(self.channels)
 
     def logits(self, feats: jax.Array, table: jax.Array):
         """-> (dec_feats [N, ch], logits [N, 255])."""
@@ -59,36 +67,38 @@ class OneScalePredictor(nn.Module):
                  parent_of_child: jax.Array, octant_of_child: jax.Array):
         """-> child feats [cap_child, ch]; rows past the child count are junk
         (downstream ops mask by count)."""
-        x = jnp.concatenate([dec_feats, bins.astype(dec_feats.dtype)], axis=-1)
-        x = self.up_in(x)
+        x = self.up_in(dec_feats, bins)
         x = self.up_act(x)
         x = self.up_block(x, table)
-        x = self.up_out(x)
-        n, ch8 = x.shape
-        per_child = x.reshape(n, 8, ch8 // 8)
-        flat = per_child.reshape(n * 8, ch8 // 8)
-        flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], axis=0)
-        idx = jnp.minimum(parent_of_child * 8 + octant_of_child, n * 8)
-        return flat[idx]
+        return self.up_out(x, parent_of_child, octant_of_child)
 
 
 class OneScaleMultiStepPredictor(nn.Module):
     """Predict ``pred_steps`` successively finer scales from one feature level
     (reference: lossl_coord/model.py:124-273). This port implements the
-    reference's default ``use_more_ch_for_multi_step_pred=False`` layout."""
+    reference's default ``use_more_ch_for_multi_step_pred=False`` layout.
+
+    feature_propagation=False is the wo_fea_prop ablation: the propagated
+    root features are dropped and dec consumes only the bins embed
+    (reference: lossl_coord_wo_fea_prop/model.py:101-137)."""
     channels: int
     pred_steps: int
+    feature_propagation: bool = True
 
     def setup(self):
         ch = self.channels
         if self.pred_steps == 2:
             self.embed = None
-            self.dec_in = nn.Dense(ch, param_dtype=jnp.float32)  # ch+8 -> ch
+            # [ch | 8] -> ch; wo_fea_prop: [8] -> ch
+            self.dec_in = SplitDense(ch) if self.feature_propagation \
+                else PDense(ch)
         else:
             assert self.pred_steps >= 3
             self.embed = StridedOctantConv(ch, self.pred_steps - 2)
             self.embed_act = PReLU() if ch >= 256 else None
-            self.dec_in = nn.Dense(ch, param_dtype=jnp.float32)  # 2ch -> ch
+            # [ch | ch] -> ch; wo_fea_prop: [ch] -> ch
+            self.dec_in = SplitDense(ch) if self.feature_propagation \
+                else PDense(ch)
         self.dec_act = PReLU()
         self.dec_block = ResBlock(ch)
 
@@ -96,15 +106,15 @@ class OneScaleMultiStepPredictor(nn.Module):
         for i in range(self.pred_steps):
             if i == 0:
                 chain.append(dict(conv=SparseConv3x3(ch), act=PReLU(),
-                                  out=nn.Dense(ch * 8, param_dtype=jnp.float32)))
+                                  out=OctantSelectDense(ch)))
             elif i != self.pred_steps - 1:
                 chain.append(dict(
-                    pre_act=PReLU(), mix=nn.Dense(ch, param_dtype=jnp.float32),
+                    pre_act=PReLU(), mix=SplitDense(ch),
                     mix_act=PReLU(), conv=SparseConv3x3(ch), act=PReLU(),
-                    out=nn.Dense(ch * 8, param_dtype=jnp.float32)))
+                    out=OctantSelectDense(ch)))
             else:
                 chain.append(dict(conv=SparseConv3x3(ch), act=PReLU(),
-                                  out=nn.Dense(255, param_dtype=jnp.float32)))
+                                  out=PDense(255)))
         self.chain = chain
 
     def root_feats(self, feats: jax.Array, root_table: jax.Array,
@@ -112,13 +122,14 @@ class OneScaleMultiStepPredictor(nn.Module):
         """Fuse root features with the root-level bins (+ strided embed of the
         next-finer bins for pred_steps >= 3); returns the block's cur_rec."""
         if self.pred_steps == 2:
-            x = jnp.concatenate([feats, bins_root.astype(feats.dtype)], axis=-1)
+            x = self.dec_in(feats, bins_root) if self.feature_propagation \
+                else self.dec_in(bins_root.astype(feats.dtype))
         else:
             e = self.embed(embed_dense)
             if self.embed_act is not None:
                 e = self.embed_act(e)
-            x = jnp.concatenate([feats, e], axis=-1)
-        x = self.dec_in(x)
+            x = self.dec_in(feats, e) if self.feature_propagation \
+                else self.dec_in(e)
         x = self.dec_act(x)
         return self.dec_block(x, root_table)
 
@@ -132,27 +143,25 @@ class OneScaleMultiStepPredictor(nn.Module):
                         level i+1 rows, for i < pred_steps-1.
         cat_bins[i]:    bins to concatenate after selection i (None for last).
         -> logits [cap_finest, 255]
-        """
+
+        The ch->8*ch 'out' head of level i is fused with level i+1's child
+        selection (OctantSelectDense), and the bins concat is a split matmul.
+        The pre-select PReLU ('pre_act') is applied to the selected features
+        only — bins are 0/1 so PReLU is the identity on them."""
         step = self.chain[0]
-        x = step['conv'](root_out, tables[0])
-        x = step['act'](x)
-        x = step['out'](x)
+        h = step['conv'](root_out, tables[0])
+        h = step['act'](h)
         for i in range(1, self.pred_steps):
             p_of_c, octant = select_maps[i - 1]
-            n, ch8 = x.shape
-            flat = x.reshape(n * 8, ch8 // 8)
-            flat = jnp.concatenate([flat, jnp.zeros_like(flat[:1])], axis=0)
-            x = flat[jnp.minimum(p_of_c * 8 + octant, n * 8)]
+            x = self.chain[i - 1]['out'](h, p_of_c, octant)
             step = self.chain[i]
             if i != self.pred_steps - 1:
-                x = jnp.concatenate([x, cat_bins[i - 1].astype(x.dtype)], axis=-1)
                 x = step['pre_act'](x)
-                x = step['mix'](x)
+                x = step['mix'](x, cat_bins[i - 1])
                 x = step['mix_act'](x)
-            x = step['conv'](x, tables[i])
-            x = step['act'](x)
-            x = step['out'](x)
-        return x
+            h = step['conv'](x, tables[i])
+            h = step['act'](h)
+        return self.chain[-1]['out'](h)
 
 
 def block_plan(max_stride: int, max_stride_wo_recurrent: int, fea_stride: int):
@@ -190,10 +199,9 @@ def make_blocks(channels: int, max_stride: int, max_stride_wo_recurrent: int,
 
     feature_propagation=False is the wo_fea_prop ablation: every scale starts
     from fresh ones-features through its own dec_init conv instead of the
-    learned upsample (reference: lossl_coord_wo_fea_prop/model.py:25-99 with
-    fea_stride 2, the wo_redens configuration)."""
-    if not feature_propagation:
-        assert fea_stride == 2, 'wo_fea_prop requires fea_stride=2 (wo_redens)'
+    learned upsample, and multi-step chains consume only the bins embed
+    (reference: lossl_coord_wo_fea_prop/model.py:25-137; with fea_stride 2
+    this is the wo_redens configuration)."""
     max_down, max_down_wo, specs = block_plan(max_stride, max_stride_wo_recurrent,
                                               fea_stride)
     blocks = {'rec': OneScalePredictor(channels, feature_propagation,
@@ -206,5 +214,6 @@ def make_blocks(channels: int, max_stride: int, max_stride_wo_recurrent: int,
                 blocks[f'b{i}'] = OneScalePredictor(channels, False,
                                                     allow_single_ch=True)
         else:
-            blocks[f'b{i}'] = OneScaleMultiStepPredictor(channels, arg)
+            blocks[f'b{i}'] = OneScaleMultiStepPredictor(
+                channels, arg, feature_propagation=feature_propagation)
     return max_down, max_down_wo, specs, blocks

@@ -77,7 +77,8 @@ def calibrate(model: 'lossl_coord.model.Model', params: Dict,
         for s in range(top - 1, 0, -1):
             c2p, octant = states[s][3]
             tables[s] = sp.child_table_from_parent(tables[s + 1], c2p, octant,
-                                                   states[s][1])
+                                                   states[s][1],
+                                                   states[s + 1][1])
         feats = jnp.ones((cap, 1), jnp.float32)
         for idx in range(top, 0, -1):
             name, mod = model._block_info(idx, top)

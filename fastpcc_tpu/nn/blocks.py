@@ -55,6 +55,91 @@ class SparseConv3x3(nn.Module):
             None if b is None else b.astype(feats.dtype))
 
 
+class PDense(nn.Module):
+    """Dense layer computing in the INPUT dtype (param storage f32).
+
+    flax's nn.Dense with default dtype promotes bf16 activations to f32
+    (params are f32), which makes every pointwise layer in the per-scale
+    chains materialize f32 [N, 8*ch] intermediates in HBM — the dominant
+    cost of the flagship's full-resolution scales (PERFNOTES.md round 3).
+    Param tree matches nn.Dense ('kernel' [in, out], 'bias')."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (cin, self.features), jnp.float32)
+        y = jax.lax.dot(x, k.astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(x.dtype)
+        return y
+
+
+class SplitDense(nn.Module):
+    """Dense over a logical concatenation [a, b] WITHOUT materializing the
+    concat: y = a @ K[:ca] + b @ K[ca:] + bias. Param tree identical to a
+    Dense over the concatenated input (kernel [ca+cb, out])."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        ca, cb = a.shape[-1], b.shape[-1]
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (ca + cb, self.features), jnp.float32)
+        kd = k.astype(a.dtype)
+        y = jax.lax.dot(a, kd[:ca], preferred_element_type=jnp.float32)
+        y = y + jax.lax.dot(b.astype(a.dtype), kd[ca:],
+                            preferred_element_type=jnp.float32)
+        y = y.astype(a.dtype)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(a.dtype)
+        return y
+
+
+class OctantSelectDense(nn.Module):
+    """Fused (Dense ch -> 8*ch at parents) + (select occupied children).
+
+    The unfused form writes an [N_parent, 8*ch] tensor to HBM and row-gathers
+    occupied children out of it. Here each child row gathers its parent's
+    ch-wide features once and applies the octant-specific kernel column block
+    via 8 masked GEMMs — HBM traffic drops from (8*ch parent write + ch child
+    read) to (ch child gather + ch child write). Param tree identical to the
+    unfused Dense (kernel [ch, 8*ch], bias [8*ch])."""
+    features: int        # per-child output channels (ch); kernel emits 8*ch
+
+    @nn.compact
+    def __call__(self, parent_feats: jax.Array, parent_of_child: jax.Array,
+                 octant_of_child: jax.Array) -> jax.Array:
+        cin = parent_feats.shape[-1]
+        ch = self.features
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (cin, ch * 8), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (ch * 8,),
+                          jnp.float32)
+        n = parent_feats.shape[0]
+        padded = jnp.concatenate(
+            [parent_feats, jnp.zeros_like(parent_feats[:1])], axis=0)
+        g = padded[jnp.minimum(parent_of_child, n)]          # [N_child, cin]
+        kd = k.astype(g.dtype)
+        bd = bias.astype(g.dtype)
+        out = None
+        for o in range(8):
+            y = jax.lax.dot(g, kd[:, o * ch:(o + 1) * ch],
+                            preferred_element_type=jnp.float32).astype(g.dtype)
+            y = y + bd[o * ch:(o + 1) * ch]
+            m = (octant_of_child == o)[:, None]
+            out = jnp.where(m, y, 0.0 if out is None else out)
+        return out
+
+
 class ResBlock(nn.Module):
     """conv -> PReLU -> conv -> +residual -> PReLU
     (reference: lossl_coord/model.py:645-660)."""

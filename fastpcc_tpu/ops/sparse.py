@@ -242,9 +242,44 @@ def _octant_offset_luts():
     return poff, osub
 
 
+@functools.lru_cache(maxsize=None)
+def _octant_block_luts():
+    """LUTs for the 8-member parent-block formulation of child tables.
+
+    For a child at octant o, its 27 neighbors live in the 2x2x2 block of
+    parents toward the octant: per axis, Δ ∈ {-1, 0} if o_axis == 0 else
+    {0, 1}. block_off[o, b] is the parent-offset index (into _OFFSETS_3X3)
+    of block member b (axis bits encoded with the Morton convention), and
+    idx64[o, j] = member(o, j) * 8 + sub_octant(o, j) locates tap j inside
+    the gathered [8 members x 8 octants] child-row block."""
+    import numpy as np
+    from .morton import np_morton_encode
+    axis_bit = [int(np_morton_encode(np.eye(3, dtype=np.int64)[i:i + 1])[0])
+                for i in range(3)]
+    off_index = {d: j for j, d in enumerate(_OFFSETS_3X3)}
+    block_off = np.zeros((8, 8), np.int32)
+    idx64 = np.zeros((8, 27), np.int32)
+    for o in range(8):
+        oxyz = [int(bool(o & axis_bit[i])) for i in range(3)]
+        memb = {}
+        for b in range(8):
+            t = [int(bool(b & axis_bit[i])) for i in range(3)]
+            delta = tuple(t[i] - 1 + oxyz[i] for i in range(3))
+            block_off[o, b] = off_index[delta]
+            memb[off_index[delta]] = b
+        for j, d in enumerate(_OFFSETS_3X3):
+            tt = [oxyz[i] + d[i] for i in range(3)]
+            delta = tuple(ti // 2 if ti >= 0 else -1 for ti in tt)
+            sub = [ti % 2 for ti in tt]
+            idx64[o, j] = memb[off_index[delta]] * 8 + \
+                sum(axis_bit[i] * sub[i] for i in range(3))
+    return block_off, idx64
+
+
 @functools.partial(jax.jit, static_argnames=())
 def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
-                            octant: jax.Array, child_count: jax.Array):
+                            octant: jax.Array, child_count: jax.Array,
+                            parent_count: Optional[jax.Array] = None):
     """Neighbor table at a child scale from the parent scale's table.
 
     parent_table:    [M, 27] (misses = M)
@@ -254,47 +289,78 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
 
     Replaces the 27-way binary search whose 17 x [N*27] gather iterations
     dominated whole-frame time (1.9 s vs ~5 ms at 131k rows on v5e). TPU
-    executes ROW gathers at HBM bandwidth but SCALAR-element gathers at
-    ~0.5 GB/s, so the two [N, 27] element gathers here are reformulated as
-    row gathers + per-octant one-hot matmuls / masked reductions (63 ms ->
-    21 ms at 131k rows; see PERFNOTES.md round 2). Index values stay < 2^24
-    so the f32 matmul permutation is exact."""
+    gathers are ROW-RATE bound for narrow rows, so the lookup is phrased to
+    touch as few gathered rows as possible: a child's 27 neighbors live in
+    the 2x2x2 block of parents toward its octant, so we gather 8 parent
+    rows' child-row maps per child ([N*8] 8-wide rows — the round-2 version
+    gathered [N*27] such rows, 9 ms/scale at 131k on v5e) and select the 27
+    taps from the resulting 64 values with per-octant one-hot matmuls.
+    Index values stay < 2^24 so the f32 HIGHEST matmuls are exact (the bf16
+    default would corrupt them — PERFNOTES.md).
+
+    With ``parent_count`` given, a run-time triviality shortcut applies: if
+    every parent has exactly one child (counts equal) and the parent table
+    has no non-center hits, no child can have a sibling or cousin neighbor,
+    so the table is the center-only identity — the common case for every
+    fine scale of sparse LiDAR (measured ~0 hit-rate below stride 64)."""
     import numpy as np
     m = parent_table.shape[0]
     n = child_to_parent.shape[0]
-    poff_np, osub_np = _octant_offset_luts()
+    center = _OFFSETS_3X3.index((0, 0, 0))
+    block_np, idx64_np = _octant_block_luts()
     valid = jnp.arange(n) < child_count
-    # child row of (parent row, octant); miss -> n; row m is all-miss
-    scatter_idx = jnp.where(valid, child_to_parent * 8 + octant, (m + 1) * 8)
-    row_map2d = jnp.full(((m + 1) * 8,), n, jnp.int32).at[scatter_idx].set(
-        jnp.arange(n, dtype=jnp.int32), mode='drop').reshape(m + 1, 8)
-    p = jnp.minimum(child_to_parent, m)
-    oct_c = jnp.clip(octant, 0, 7)
-    pt_ext = jnp.concatenate([parent_table, jnp.full((1, 27), m, jnp.int32)],
-                             axis=0)
-    rowg_f = pt_ext[p].astype(jnp.float32)                # [N, 27] row gather
-    # pn[i, j] = rowg[i, poff[oct_i, j]]: per-octant one-hot column matmuls
-    pn_f = jnp.zeros((n, 27), jnp.float32)
-    for o in range(8):
-        perm = jnp.asarray((poff_np[o][None, :] ==
-                            np.arange(27)[:, None]).astype(np.float32))
-        pn_f = pn_f + jnp.where((oct_c == o)[:, None],
-                                jax.lax.dot(rowg_f, perm,
-                                            precision=jax.lax.Precision.HIGHEST,
-                                            preferred_element_type=jnp.float32),
-                                0.0)
-    pn = pn_f.astype(jnp.int32)
-    # rows[i, j] = row_map2d[pn[i, j], osub[oct_i, j]]: row gather of 8-wide
-    # rows, then one masked column reduce (the per-child one-hot mask is a
-    # row gather of the 8-pattern LUT — one pass instead of 8 octant passes)
-    rm_f = row_map2d[jnp.minimum(pn, m).reshape(-1)] \
-        .reshape(n, 27, 8).astype(jnp.float32)
-    onehot_all = jnp.asarray(
-        (osub_np[:, :, None] == np.arange(8)[None, None, :])
-        .astype(np.float32))                               # [8, 27, 8]
-    sel = (rm_f * onehot_all[oct_c]).sum(-1)
-    rows = jnp.where(pn >= m, n, sel.astype(jnp.int32))
-    return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
+
+    def full():
+        # child row of (parent row, octant); miss -> n; row m is all-miss
+        scatter_idx = jnp.where(valid, child_to_parent * 8 + octant,
+                                (m + 1) * 8)
+        row_map2d = jnp.full(((m + 1) * 8,), n, jnp.int32).at[scatter_idx].set(
+            jnp.arange(n, dtype=jnp.int32), mode='drop').reshape(m + 1, 8)
+        p = jnp.minimum(child_to_parent, m)
+        oct_c = jnp.clip(octant, 0, 7)
+        pt_ext = jnp.concatenate(
+            [parent_table, jnp.full((1, 27), m, jnp.int32)], axis=0)
+        rowg_f = pt_ext[p].astype(jnp.float32)            # [N, 27] row gather
+        # pb[i, b] = rowg[i, block_off[oct_i, b]]: the 8 block-parent rows
+        pb_f = jnp.zeros((n, 8), jnp.float32)
+        for o in range(8):
+            perm = jnp.asarray((block_np[o][None, :] ==
+                                np.arange(27)[:, None]).astype(np.float32))
+            pb_f = pb_f + jnp.where(
+                (oct_c == o)[:, None],
+                jax.lax.dot(rowg_f, perm,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32),
+                0.0)
+        pb = pb_f.astype(jnp.int32)                        # values in [0, m]
+        # rm[i] = concat of the 8 block parents' child-row maps -> [N, 64]
+        rm_f = row_map2d[pb.reshape(-1)].reshape(n, 64).astype(jnp.float32)
+        # rows[i, j] = rm[i, idx64[oct_i, j]]
+        rows_f = jnp.zeros((n, 27), jnp.float32)
+        for o in range(8):
+            sel = jnp.asarray((idx64_np[o][:, None] ==
+                               np.arange(64)[None, :]).astype(np.float32).T)
+            rows_f = rows_f + jnp.where(
+                (oct_c == o)[:, None],
+                jax.lax.dot(rm_f, sel,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32),
+                0.0)
+        rows = rows_f.astype(jnp.int32)
+        return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
+
+    if parent_count is None:
+        return full()
+
+    def trivial():
+        r = jnp.full((n, 27), n, jnp.int32)
+        return r.at[:, center].set(
+            jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, parent_table.shape, 1)
+    parent_has_nbrs = jnp.any((parent_table < m) & (lane != center))
+    nontrivial = parent_has_nbrs | (child_count != parent_count)
+    return jax.lax.cond(nontrivial, full, trivial)
 
 
 @jax.jit
@@ -336,19 +402,50 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     Per-tap gather + GEMM with float32 accumulation: device traces show this
     ~1.5x faster than the fused [N, 27*Cin] x [27*Cin, Cout] formulation on
     v5e (7.7 ms vs 11.5 ms at 131k x 128, both gather-bound), and it avoids
-    materializing the 27x-amplified gather tensor. row_chunk is kept for API
-    compatibility and ignored.
+    materializing the 27x-amplified gather tensor.
+
+    A conv whose table has NO non-center hit anywhere degenerates to a
+    pointwise GEMM, and that is the measured common case at LiDAR-like
+    sparsity: fine scales have ~zero 3^3 neighbor occupancy (hit-rates
+    ~0.000-0.004 below stride 64 at 65536 resolution), so 26 of 27 gathers
+    would fetch only the zero row. One lax.cond per conv selects between the
+    center-only GEMM and the full 27-tap path (per-tap conds were tried and
+    blew XLA compile time past 15 min at ~1000 conds/program). The skip is
+    exact for forward AND gradients (all-miss taps contribute zero), and the
+    predicate is a pure function of the coded occupancy — encoder and
+    decoder agree. The center tap reads feats directly (its table column is
+    the identity on valid rows; junk rows propagate junk, which downstream
+    count-masking already discards). row_chunk is kept for API compatibility
+    and ignored.
     """
     del row_chunk
     n, cin = feats.shape
+    assert table.shape[0] == n, \
+        f'table rows {table.shape[0]} != feats rows {n} (miss sentinel is n)'
     k = table.shape[1]
-    padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    acc = None
-    for t in range(k):
-        g = padded[table[:, t]]                        # [N, Cin]
-        o = jax.lax.dot(g, weights[t],
-                        preferred_element_type=jnp.float32)
-        acc = o if acc is None else acc + o
+    center = k // 2 if k == 27 else None    # _OFFSETS_3X3.index((0,0,0)) == 13
+
+    def center_only():
+        return jax.lax.dot(feats, weights[center],
+                           preferred_element_type=jnp.float32)
+
+    def full():
+        padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)],
+                                 axis=0)
+        acc = None
+        for t in range(k):
+            g = feats if t == center else padded[table[:, t]]
+            o = jax.lax.dot(g, weights[t],
+                            preferred_element_type=jnp.float32)
+            acc = o if acc is None else acc + o
+        return acc
+
+    if center is None:
+        acc = full()
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
+        any_nbr = jnp.any((table < n) & (lane != center))
+        acc = jax.lax.cond(any_nbr, full, center_only)
     out = acc.astype(feats.dtype)
     if bias is not None:
         out = out + bias
@@ -394,15 +491,26 @@ def ancestor_rows_dense(child_codes: jax.Array, child_count: jax.Array,
                         anc_cap: int, levels: int) -> jax.Array:
     """ancestor_gather_dense with PRECOMPUTED ancestor rows (composed
     child->parent maps) instead of a binary search — searchsorted costs
-    ~17 gather passes on TPU (PERFNOTES.md round 2)."""
+    ~17 gather passes on TPU (PERFNOTES.md round 2).
+
+    Built as a row scatter-add of one-hot-positioned [N, k3*C] rows into
+    [M, k3*C] — the earlier element scatter into an [M*k3, C] tensor forced
+    a transposed layout and materialized the (mostly zero) dense tensor
+    twice (10.5 ms/call at 131k/k3=64 on v5e, round-3 trace). Colliding
+    children of one ancestor write disjoint lane blocks (offsets are unique
+    per child), so the adds are exact in any order."""
     n = child_codes.shape[0]
     k3 = 1 << (3 * levels)
+    c = child_feats.shape[-1]
     offset = (child_codes & (k3 - 1)).astype(jnp.int32)
     valid = (jnp.arange(n) < child_count) & (anc_rows < anc_cap)
-    scatter_idx = jnp.where(valid, anc_rows * k3 + offset, anc_cap * k3)
-    dense = jnp.zeros((anc_cap * k3, child_feats.shape[-1]), child_feats.dtype)
-    dense = dense.at[scatter_idx].set(child_feats, mode='drop')
-    return dense.reshape(anc_cap, k3, child_feats.shape[-1])
+    oh = offset[:, None] == jnp.arange(k3, dtype=jnp.int32)[None, :]
+    z = jnp.where(oh[:, :, None] & valid[:, None, None],
+                  child_feats[:, None, :], 0).reshape(n, k3 * c)
+    rows = jnp.where(valid, anc_rows, anc_cap)
+    dense = jnp.zeros((anc_cap, k3 * c), child_feats.dtype)
+    dense = dense.at[rows].add(z, mode='drop')
+    return dense.reshape(anc_cap, k3, c)
 
 
 def compose_maps(maps, cap: int) -> jax.Array:
