@@ -19,30 +19,41 @@ from .pc_error import compute_d1_d2_psnr, mpeg_pc_error
 from ..data.ply_io import write_ply, read_ply
 
 
-def _distortion_job(pred, file_path, resolution, compute_d2, pred_color):
+def _distortion_job(pred, file_path, resolution, compute_d2, pred_color,
+                    pred_reflectance=None):
     data = read_ply(file_path) if file_path.endswith('.ply') else None
     if data is None:
         return {}
     ref = data['xyz']
-    out = mpeg_pc_error(file_path, '', resolution)
+    out = mpeg_pc_error(file_path, '', resolution,
+                        color=pred_color is not None,
+                        reflectance=pred_reflectance is not None)
     if not out:
         out = compute_d1_d2_psnr(pred, ref, resolution, compute_d2=compute_d2)
     if pred_color is not None and 'rgb' in data:
         from .pc_error import compute_color_psnr
         out.update(compute_color_psnr(pred, pred_color, ref, data['rgb']))
+    if pred_reflectance is not None and 'reflectance' in data:
+        from .pc_error import compute_reflectance_psnr
+        out.update(compute_reflectance_psnr(pred, pred_reflectance, ref,
+                                            data['reflectance']))
     return out
 
 
 class PCCEvaluator:
     def __init__(self, cal_mpeg_pc_error: bool = True,
                  cal_avs_pc_evalue: bool = False, compute_d2: bool = True,
-                 max_workers: int = 1):
+                 max_workers: Optional[int] = None):
         self.compute_distortion = cal_mpeg_pc_error or cal_avs_pc_evalue
         self.compute_d2 = compute_d2
         self.metric_dict: Dict[str, Dict] = {}
         self._pool = None
         self._futures = {}
-        self._max_workers = max_workers
+        # distortion must keep up with decode on multi-frame test sets — the
+        # reference hides it behind a forkserver pool of N processes
+        # (reference: lib/evaluators.py:42,67)
+        self._max_workers = max_workers if max_workers \
+            else min(4, os.cpu_count() or 1)
 
     def _ensure_pool(self):
         if self._pool is None:
@@ -54,7 +65,8 @@ class PCCEvaluator:
             compressed_bytes: bytes, file_path: str, resolution: float,
             results_dir: Optional[str] = None,
             extra_info_dict: Optional[Dict] = None,
-            pred_color: Optional[np.ndarray] = None) -> Dict:
+            pred_color: Optional[np.ndarray] = None,
+            pred_reflectance: Optional[np.ndarray] = None) -> Dict:
         entry = {
             'input_points_num': int(org_points_num),
             'output_points_num': int(len(pred)),
@@ -71,13 +83,17 @@ class PCCEvaluator:
             write_ply(osp.join(results_dir, base + '_recon.ply'),
                       np.asarray(pred),
                       rgb=None if pred_color is None
-                      else np.asarray(pred_color))
+                      else np.asarray(pred_color),
+                      reflectance=None if pred_reflectance is None
+                      else np.asarray(pred_reflectance))
         if self.compute_distortion and file_path.endswith('.ply') \
                 and osp.isfile(file_path):
             fut = self._ensure_pool().submit(
                 _distortion_job, np.asarray(pred, np.float64), file_path,
                 resolution, self.compute_d2,
-                None if pred_color is None else np.asarray(pred_color))
+                None if pred_color is None else np.asarray(pred_color),
+                None if pred_reflectance is None
+                else np.asarray(pred_reflectance))
             self._futures[file_path] = fut
         self.metric_dict[file_path] = entry
         return entry

@@ -78,6 +78,7 @@ _FLOAT_RE = re.compile(r'(mse\S*|c\[\d\],PSNRF|h\.\S*)\s*[,:]?\s*(p2point|p2plan
 
 def mpeg_pc_error(infile1: str, infile2: str, resolution: float,
                   normal_file: str = '', color: bool = False,
+                  reflectance: bool = False,
                   threads: int = 1, binary: str = '') -> Dict[str, float]:
     """Run the MPEG pc_error binary and parse its stdout
     (reference: lib/metrics/pc_error_wrapper.py:40-107). Returns {} if no
@@ -92,6 +93,9 @@ def mpeg_pc_error(infile1: str, infile2: str, resolution: float,
         cmd.append(f'--inputNorm={normal_file}')
     if color:
         cmd.append('--color=1')
+    if reflectance:
+        # reference: lib/metrics/pc_error_wrapper.py:53 (--lidar flag)
+        cmd.append('--lidar=1')
     res = subprocess.run(cmd, capture_output=True, text=True)
     out = {}
     for line in res.stdout.splitlines():
@@ -134,3 +138,24 @@ def compute_color_psnr(pred: np.ndarray, pred_rgb: np.ndarray,
         psnrs.append(psnr)
     out['c[3],PSNRF'] = (6 * psnrs[0] + psnrs[1] + psnrs[2]) / 8
     return out
+
+
+def compute_reflectance_psnr(pred: np.ndarray, pred_refl: np.ndarray,
+                             ref: np.ndarray, ref_refl: np.ndarray,
+                             peak: float = 255.0) -> Dict[str, float]:
+    """Symmetric reflectance PSNR over nearest-neighbor correspondences.
+
+    In-process analog of pc_error's --lidar=1 reflectance metric
+    (reference: lib/metrics/pc_error_wrapper.py:42-53 passes
+    ``--lidar={int(reflectance)}``); key follows the pc_error schema
+    ('r,PSNRF', max-of-directions MSE like the color path)."""
+    pred = pred.astype(np.float64)
+    ref = ref.astype(np.float64)
+    pr = pred_refl.astype(np.float64).reshape(-1)
+    rr = ref_refl.astype(np.float64).reshape(-1)
+    _, idx_ab = _nn(pred, ref)
+    _, idx_ba = _nn(ref, pred)
+    mse = max(float(((pr - rr[idx_ab]) ** 2).mean()),
+              float(((rr - pr[idx_ba]) ** 2).mean()))
+    return {'r,PSNRF': 10 * np.log10(peak ** 2 / mse) if mse > 0
+            else float('inf')}

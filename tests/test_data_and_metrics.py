@@ -166,3 +166,49 @@ def test_synthetic_color_dataset():
     s = ds[0]
     assert s['color'].shape == (len(s['xyz']), 3)
     assert s['color'].dtype == np.uint8
+
+
+def test_reflectance_roundtrip_through_evaluator(tmp_path):
+    """A reflectance-carrying PLY scores a reflectance PSNR through the
+    evaluator (reference: lib/evaluators.py:57,97 pred_reflectance ->
+    pc_error --lidar; here the in-process r,PSNRF fallback)."""
+    from fastpcc_tpu.data.ply_io import write_ply, read_ply
+    from fastpcc_tpu.metrics.evaluator import PCCEvaluator
+    rng = np.random.default_rng(3)
+    xyz = np.unique(rng.integers(0, 256, (512, 3)), axis=0)
+    refl = rng.integers(0, 256, (len(xyz),)).astype(np.uint16)
+    src = str(tmp_path / 'in.ply')
+    write_ply(src, xyz, reflectance=refl)
+    back = read_ply(src)
+    assert np.array_equal(back['reflectance'].reshape(-1), refl)
+
+    ev = PCCEvaluator(compute_d2=False, max_workers=1)
+    ev.log(xyz.astype(np.float64), len(xyz), b'\x00' * 64, src, 256,
+           results_dir=str(tmp_path / 'out'),
+           pred_reflectance=refl)
+    ev.show(results_dir=str(tmp_path / 'out'))
+    exact = ev.metric_dict[src]['r,PSNRF']
+    assert exact == float('inf') or exact > 99
+    # lossy reflectance scores finitely
+    ev.reset()
+    noisy = np.clip(refl.astype(np.int32) + 8, 0, 255).astype(np.uint16)
+    ev.log(xyz.astype(np.float64), len(xyz), b'\x00' * 64, src, 256,
+           pred_reflectance=noisy)
+    mean = ev.show()
+    assert 20 < mean['r,PSNRF'] < 99
+    # recon ply carries the reflectance property
+    rec = read_ply(str(tmp_path / 'out' / 'in_recon.ply'))
+    assert 'reflectance' in rec
+
+
+def test_plyvoxel_presets_import():
+    """Preset subclasses mirror the reference's per-CTC-class dataset configs
+    (reference: lib/datasets/PlyVoxel/MPEG_GPCC_CTC_Solid.py:1-16)."""
+    import importlib
+    for name in ('MPEG_GPCC_CTC_Solid', 'MPEG_GPCC_CTC_Solid_MVUB',
+                 'MPEG_GPCC_CTC_DenseVox14_Solid_MVUB'):
+        mod = importlib.import_module(
+            f'fastpcc_tpu.data.datasets.PlyVoxel.{name}')
+        cfg = mod.Config()
+        assert len(cfg.root) == len(cfg.filelist_path) == len(cfg.resolution)
+        assert mod.Dataset is not None
