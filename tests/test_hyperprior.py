@@ -9,6 +9,8 @@ import pytest
 from fastpcc_tpu.entropy_models.hyperprior import (ScaleHyperprior,
                                                    HyperpriorCoder)
 
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
+
 
 class HE(nn.Module):
     ch: int

@@ -10,6 +10,8 @@ from fastpcc_tpu.models.lossl_coord import Config
 from fastpcc_tpu.models.lossl_coord.model import Model, _bucket, sp_pad_codes
 from fastpcc_tpu.ops.morton import np_morton_encode
 
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
+
 
 def _random_cloud(n, res, seed):
     rng = np.random.default_rng(seed)

@@ -5,6 +5,7 @@ The guarantee under test: after PTQ conversion, compress->decompress is
 LOSSLESS and every CDF the coder sees is computed with integer-only ops —
 bit-identical on any backend."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from fastpcc_tpu.models.lossl_coord import Config
 from fastpcc_tpu.models.lossl_coord.model import Model as FloatModel
 from fastpcc_tpu.models.lossl_coord_int import Model as IntModel, convert
 from fastpcc_tpu.ops.morton import np_morton_encode
+
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
 
 
 def _cloud(n, res, seed):

@@ -12,6 +12,8 @@ from fastpcc_tpu.models.lossy_coord_lossy_color.network import \
 from fastpcc_tpu.models.lossy_coord.model import _bucket, sp_pad
 from fastpcc_tpu.ops.morton import np_morton_encode
 
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
+
 
 def _cloud(n, res, seed):
     rng = np.random.default_rng(seed)

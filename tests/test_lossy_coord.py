@@ -9,6 +9,8 @@ from fastpcc_tpu.models.lossy_coord import Config
 from fastpcc_tpu.models.lossy_coord.model import Model, _bucket, sp_pad
 from fastpcc_tpu.ops.morton import np_morton_encode
 
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
+
 
 def _cfg():
     cfg = Config()

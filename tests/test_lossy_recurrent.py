@@ -15,6 +15,8 @@ from fastpcc_tpu.models.lossy_coord.model import (Model, _bucket, _rec_cap,
 from fastpcc_tpu.ops import ilv_rans as ir
 from fastpcc_tpu.ops.morton import np_morton_encode
 
+pytestmark = pytest.mark.slow  # model e2e: heavy compile + train
+
 
 def _cloud(n, res, seed):
     rng = np.random.default_rng(seed)
