@@ -404,19 +404,30 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     v5e (7.7 ms vs 11.5 ms at 131k x 128, both gather-bound), and it avoids
     materializing the 27x-amplified gather tensor.
 
-    A conv whose table has NO non-center hit anywhere degenerates to a
-    pointwise GEMM, and that is the measured common case at LiDAR-like
-    sparsity: fine scales have ~zero 3^3 neighbor occupancy (hit-rates
-    ~0.000-0.004 below stride 64 at 65536 resolution), so 26 of 27 gathers
-    would fetch only the zero row. One lax.cond per conv selects between the
-    center-only GEMM and the full 27-tap path (per-tap conds were tried and
-    blew XLA compile time past 15 min at ~1000 conds/program). The skip is
-    exact for forward AND gradients (all-miss taps contribute zero), and the
-    predicate is a pure function of the coded occupancy — encoder and
-    decoder agree. The center tap reads feats directly (its table column is
-    the identity on valid rows; junk rows propagate junk, which downstream
-    count-masking already discards). row_chunk is kept for API compatibility
-    and ignored.
+    At LiDAR-like sparsity almost no row has a 3^3 neighbor (measured on the
+    bench cloud at 65536 resolution: hit-rate <= 0.002 for every >=100k-row
+    scale, <= 0.05 up to 64k rows), yet ONE hit anywhere makes the conv
+    non-pointwise — an all-or-nothing cond on "any neighbor" routes ~every
+    full-res conv to the 10.6 ms 27-tap path to serve a handful of rows
+    (round-3 trace: 28 such conds ~= 300 ms/frame). So the conv is a
+    three-way lax.cond tree on nhit = count(rows with any non-center hit),
+    a pure function of the coded occupancy (encoder and decoder agree):
+
+      nhit == 0        -> pointwise GEMM (0.05 ms at 131k x 128)
+      nhit <= N//8     -> center GEMM over all rows + a COMPACTED 26-tap
+                          correction: sort hit rows first (stable argsort of
+                          the miss flag — compaction = sort, PERFNOTES.md),
+                          gather their sub-table, accumulate the neighbor
+                          GEMMs at K = N//8 rows, scatter-add back (~1.5 ms)
+      else             -> full 27-tap path (dense occupancy, small caps)
+
+    All three branches are exact (all-miss taps contribute zero; compaction
+    covers every hit row when nhit <= K) for forward AND gradients. Per-tap
+    conds were tried and blew XLA compile time past 15 min at ~1000
+    conds/program; one cond tree per conv compiles fine. The center tap
+    reads feats directly (its table column is the identity on valid rows;
+    junk rows propagate junk, which downstream count-masking already
+    discards). row_chunk is kept for API compatibility and ignored.
     """
     del row_chunk
     n, cin = feats.shape
@@ -425,7 +436,7 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     k = table.shape[1]
     center = k // 2 if k == 27 else None    # _OFFSETS_3X3.index((0,0,0)) == 13
 
-    def center_only():
+    def center_gemm():
         return jax.lax.dot(feats, weights[center],
                            preferred_element_type=jnp.float32)
 
@@ -444,8 +455,34 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
         acc = full()
     else:
         lane = jax.lax.broadcasted_iota(jnp.int32, table.shape, 1)
-        any_nbr = jnp.any((table < n) & (lane != center))
-        acc = jax.lax.cond(any_nbr, full, center_only)
+        hit = jnp.any((table < n) & (lane != center), axis=1)       # [N]
+        nhit = jnp.sum(hit.astype(jnp.int32))
+        kcap = max(min(n // 8, n), 1)
+
+        def sparse_correction():
+            # stable sort: hit rows first, original order preserved
+            order = jnp.argsort(jnp.logical_not(hit).astype(jnp.int32),
+                                stable=True).astype(jnp.int32)
+            idx = order[:kcap]                                      # [K]
+            valid_k = jnp.arange(kcap) < jnp.minimum(nhit, kcap)
+            tbl_k = jnp.where(valid_k[:, None], table[idx], n)      # [K, 27]
+            padded = jnp.concatenate(
+                [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+            corr = None
+            for t in range(k):
+                if t == center:
+                    continue
+                g = padded[tbl_k[:, t]]                             # [K, Cin]
+                o = jax.lax.dot(g, weights[t],
+                                preferred_element_type=jnp.float32)
+                corr = o if corr is None else corr + o
+            out = center_gemm()
+            return out.at[idx].add(
+                jnp.where(valid_k[:, None], corr, 0.0), mode='drop')
+
+        acc = jax.lax.cond(
+            nhit == 0, center_gemm,
+            lambda: jax.lax.cond(nhit <= kcap, sparse_correction, full))
     out = acc.astype(feats.dtype)
     if bias is not None:
         out = out + bias

@@ -229,3 +229,62 @@ def test_child_table_from_parent_matches_search():
         fast = sp.child_table_from_parent(parent_table, c2p, octant, count)
         ref = sp.build_neighbor_table(codes_j, count, bits, scale_bits)
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+
+
+def test_sparse_conv_branch_regimes():
+    """All three conv branches (center-only / compacted correction / full)
+    produce the exact per-tap result. nhit is swept across the K = N//8
+    compaction budget boundary."""
+    rng = np.random.default_rng(8)
+    n, cin, cout = 64, 4, 6
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    feats_np = rng.normal(size=(n, cin)).astype(np.float32)
+    kcap = n // 8
+
+    for nhit in (0, 1, kcap - 1, kcap, kcap + 1, n // 2, n):
+        table_np = np.full((n, 27), n, np.int64)
+        table_np[:, 13] = np.arange(n)
+        hit_rows = rng.choice(n, size=nhit, replace=False)
+        for r in hit_rows:
+            taps = rng.choice([t for t in range(27) if t != 13],
+                              size=rng.integers(1, 4), replace=False)
+            table_np[r, taps] = rng.integers(0, n, size=len(taps))
+        out = np.asarray(sparse_conv_apply(
+            jnp.asarray(feats_np), jnp.asarray(table_np), jnp.asarray(w)))
+        expected = np.zeros((n, cout), np.float32)
+        for t in range(27):
+            src = table_np[:, t]
+            g = np.where((src < n)[:, None], feats_np[np.minimum(src, n - 1)],
+                         0.0)
+            expected += g @ w[t]
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5,
+                                   err_msg=f'nhit={nhit}')
+
+
+def test_sparse_conv_gradients_across_branches():
+    """Gradients w.r.t. feats and weights agree between the compacted
+    sparse-correction branch and a reference full accumulation."""
+    rng = np.random.default_rng(9)
+    n, c = 32, 3
+    w = jnp.asarray(rng.normal(size=(27, c, c)).astype(np.float32) * 0.1)
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    table_np = np.full((n, 27), n, np.int64)
+    table_np[:, 13] = np.arange(n)
+    table_np[3, 0] = 7
+    table_np[3, 22] = 1   # nhit=1 -> sparse-correction branch
+    table = jnp.asarray(table_np)
+
+    def loss(f, ww):
+        return jnp.sum(sparse_conv_apply(f, table, ww) ** 2)
+
+    def loss_ref(f, ww):
+        padded = jnp.concatenate([f, jnp.zeros((1, c))], axis=0)
+        acc = sum(padded[table[:, t]] @ ww[t] for t in range(27))
+        return jnp.sum(acc ** 2)
+
+    gf, gw = jax.grad(loss, argnums=(0, 1))(feats, w)
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-5)
