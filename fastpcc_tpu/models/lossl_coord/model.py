@@ -614,6 +614,17 @@ class Model:
                              mod.allow_single_ch, p, dec_feats, bins, table,
                              c2p, octant)
 
+    def _nn_ms_root(self, mod, p, feats, root_table, bins_root, embed_dense):
+        return _ms_root(self.cfg.channels, mod.pred_steps,
+                        self.cfg.feature_propagation, p, feats, root_table,
+                        bins_root, embed_dense)
+
+    def _nn_ms_chain(self, mod, p, root_out, chain_tables, select_maps,
+                     cat_bins):
+        return _ms_chain(self.cfg.channels, mod.pred_steps,
+                         self.cfg.feature_propagation, p, root_out,
+                         chain_tables, select_maps, cat_bins)
+
     def _nn_cdf(self, logits):
         # pallas kernel on TPU (2.7x: one VMEM pass, no [N, 255] f32 HBM
         # intermediates); jnp elsewhere. Encoder and decoder both run this
@@ -720,9 +731,9 @@ class Model:
                         src.codes, src.count,
                         src.bins.astype(self.compute_dtype), anc_rows,
                         states[r].codes.shape[0], k - 2)
-                root_out = _ms_root(ch, k, self.cfg.feature_propagation, p,
-                                    feats, self._table(states[r], r),
-                                    states[r].bins, embed_dense)
+                root_out = self._nn_ms_root(mod, p, feats,
+                                            self._table(states[r], r),
+                                            states[r].bins, embed_dense)
                 chain_tables = tuple(self._table(states[r - i], r - i)
                                      for i in range(k))
                 select_maps = tuple(
@@ -730,9 +741,8 @@ class Model:
                     for i in range(k - 1))
                 cat_bins = tuple([states[r - i].bins for i in range(1, k - 1)]
                                  + [None])
-                logits = _ms_chain(ch, k, self.cfg.feature_propagation, p,
-                                   root_out, chain_tables, select_maps,
-                                   cat_bins)
+                logits = self._nn_ms_chain(mod, p, root_out, chain_tables,
+                                           select_maps, cat_bins)
                 self._code_scale(idx, logits, states, symbols_of,
                                  decode_scale, collected)
                 feats = root_out

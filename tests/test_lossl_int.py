@@ -70,6 +70,41 @@ def test_int_model_rate_close_to_float():
     assert len(recon) == len(xyz)
 
 
+def _cfg_ms():
+    """Shipped-flagship topology at test scale: fea_stride=16 gives three
+    multi-step chains (k=4,3,2) + a no-upsample OSP under the OSP ladder
+    (reference: config/convolutional/lossl_coord/kitti_ford.yaml)."""
+    cfg = Config()
+    cfg.channels = 16
+    cfg.max_stride = 128
+    cfg.max_stride_wo_recurrent = 64
+    cfg.fea_stride = 16
+    cfg.coord_bits = 8
+    cfg.coder_lanes = 8
+    cfg.check()
+    return cfg
+
+
+def test_int_model_ms_chains_lossless_roundtrip():
+    """The int path must quantize the ACTUAL flagship topology (multi-step
+    predictor chains), not only OSP ladders (round-2 gap)."""
+    cfg = _cfg_ms()
+    fm = FloatModel(cfg)
+    params = fm.init_params(jax.random.PRNGKey(0))
+    calib = [_cloud(500, 256, seed=9)]
+    im, iparams = IntModel.from_float(fm, params, calib)
+
+    xyz = _cloud(700, 256, seed=4)
+    blob = im.compress(iparams, xyz)
+    recon = im.decompress(iparams, blob)
+    recon_sorted = recon[np.lexsort(recon.T[::-1])]
+    xyz_sorted = xyz[np.lexsort(xyz.T[::-1])]
+    np.testing.assert_array_equal(recon_sorted, xyz_sorted)
+
+    b_float = fm.compress(params, xyz)
+    assert len(blob) < 1.3 * len(b_float) + 64
+
+
 def test_int_cdfs_are_integer_deterministic():
     """Two independent jit instances must produce byte-identical streams."""
     cfg = _cfg()
