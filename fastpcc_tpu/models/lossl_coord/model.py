@@ -22,6 +22,7 @@ Bitstream layout (little-endian), mirroring the reference with additions:
 import io
 import math
 import functools
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -203,6 +204,7 @@ class Model:
         self._mega_decode = jax.jit(self._traced_decode,
                                     static_argnums=(4,))
         self._dec_caps = None
+        self._sticky_caps = None
         # uniform side CDF for bottom-coordinate CDF-row transmission
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
@@ -453,6 +455,24 @@ class Model:
                                 128)))
         return tuple(caps)
 
+    def _effective_caps(self, codes_np: np.ndarray, n: int):
+        """Dataset-stable static shapes: the caps used for a cloud are the
+        running elementwise max over every cloud this Model instance has
+        compressed (elementwise max of non-increasing pow-2 sequences stays
+        non-increasing). A multi-sample test pass therefore compiles the
+        mega encode/decode programs for sample 1 and reuses them for every
+        later cloud that fits — per-cloud caps recompiled per sample
+        (round-2 finding). Capacities only pad rows (symbols are count-
+        masked), so the bitstream is unchanged."""
+        cloud = self._scale_caps(codes_np, _bucket(n))
+        if (self._sticky_caps is None
+                or len(self._sticky_caps) != len(cloud)):
+            self._sticky_caps = cloud
+        else:
+            self._sticky_caps = tuple(
+                max(a, b) for a, b in zip(self._sticky_caps, cloud))
+        return self._sticky_caps
+
     def _traced_decode(self, params, bottom_codes, bottom_count, stream,
                        caps=None):
         """Whole decode as one traceable function: all scales' NNs, rANS
@@ -516,24 +536,53 @@ class Model:
             self._mega_roundtrip = jax.jit(self._traced_roundtrip,
                                            static_argnums=(3,))
         offset, codes_np = self._prep_xyz(xyz)
-        cap = _bucket(len(codes_np))
-        codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+        caps = self._effective_caps(codes_np, len(codes_np))
+        codes = jnp.asarray(sp_pad_codes(codes_np, caps[0]))
         coords, ok, nbytes = self._mega_roundtrip(
-            params, codes, jnp.int32(len(codes_np)),
-            self._scale_caps(codes_np, cap))
+            params, codes, jnp.int32(len(codes_np)), caps)
         return (np.asarray(coords)[:len(codes_np)] + offset[None],
                 bool(ok), int(nbytes))
 
+    def pre_test_hook(self):
+        """With cfg.quantize_param, a test pass doubles as PTQ calibration:
+        every compressed cloud is recorded and post_test_hook converts +
+        saves the integer checkpoint (the reference's observer-insertion /
+        int-impl-replacement flow, reference: lossl_coord/model.py:633-642)."""
+        if self.cfg.quantize_param:
+            self._calib_clouds = []
+            self._calib_params = None
+
+    def post_test_hook(self):
+        clouds = getattr(self, '_calib_clouds', None)
+        if not (self.cfg.quantize_param and clouds):
+            return
+        import pickle
+        from ..lossl_coord_int.quantize import convert
+        iparams = convert(self, self._calib_params, clouds)
+        path = self.cfg.int_param_save_path
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        # plain pickle (not save_checkpoint): keeps python-int leaves
+        # (e_f, shifts) as ints for the integer model
+        with open(path, 'wb') as f:
+            pickle.dump({'state_dict': iparams}, f, protocol=4)
+        self._calib_clouds = None
+
     def compress(self, params: Dict, xyz: np.ndarray) -> bytes:
         """xyz: [N, 3] non-negative ints (unique rows)."""
+        if getattr(self, '_calib_clouds', None) is not None:
+            self._calib_clouds.append(np.array(xyz))
+            self._calib_params = params
         enc, _ = self._coders()
         offset, codes_np = self._prep_xyz(xyz)
         n = len(codes_np)
         cap = _bucket(n)
         top = self.max_down - self.cfg.skip_top_scales_num
         if self.cfg.device_coder:
+            caps = self._effective_caps(codes_np, n)
+            cap = caps[0]
             codes = jnp.asarray(sp_pad_codes(codes_np, cap))
-            caps = self._scale_caps(codes_np, cap)
             t0 = time.perf_counter()
             bptr, buf, bottom_coords_dev, bcount = self._mega_encode(
                 params, codes, jnp.int32(n), caps)

@@ -95,7 +95,13 @@ class Model(FloatModel):
     """Integer flagship: compress/decompress only (no training,
     reference: lossl_coord_int/model.py:297-299). Construct via
     ``Model.from_float(float_model, params, calibration_clouds)`` or with a
-    previously saved integer parameter tree."""
+    previously saved integer parameter tree (a *_quantize.yaml run's
+    int_param_save_path; the harness loads it verbatim — see
+    ``raw_param_tree``)."""
+
+    # test.py: the checkpoint IS the parameter tree (packs of int8 weights,
+    # requant mul/shifts, ...) — no float init / loose matching applies.
+    raw_param_tree = True
 
     @classmethod
     def from_float(cls, float_model: FloatModel, params: Dict, clouds):

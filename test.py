@@ -135,11 +135,20 @@ def main(argv: List[str]):
 
     model_mod = importlib.import_module(cfg.model_module_path)
     model = model_mod.Model(cfg.model)
-    params = model.init_params(jax.random.PRNGKey(0))
+    raw_tree = bool(getattr(model, 'raw_param_tree', False))
+    if raw_tree and not cfg.test.from_ckpt:
+        raise ValueError(f'{cfg.model_module_path} has no trainable float '
+                         f'parameters: test.from_ckpt must point at its '
+                         f'converted checkpoint (run the *_quantize config '
+                         f'first)')
+    params = None if raw_tree else model.init_params(jax.random.PRNGKey(0))
     if cfg.test.from_ckpt:
         ckpt = load_checkpoint(cfg.test.from_ckpt)
         loaded = ckpt.get('ema_state_dict') or ckpt['state_dict']
-        params, _ = load_loose_params(params, loaded, logger)
+        if raw_tree:
+            params = loaded
+        else:
+            params, _ = load_loose_params(params, loaded, logger)
         logger.info(f'loaded {cfg.test.from_ckpt} '
                     f'({"ema" if "ema_state_dict" in ckpt else "raw"})')
 

@@ -78,3 +78,57 @@ def test_color_train_then_test(tmp_path, monkeypatch):
         metrics = json.load(f)
     assert metrics['bpp'] > 0
     assert metrics['output_points_num'] > 0
+
+
+@pytest.mark.slow
+def test_quantize_then_int_test(tmp_path, monkeypatch):
+    """PTQ through the harness (reference flow, lossl_coord/model.py:633-642):
+    train tiny float flagship -> *_quantize-style run (test pass doubles as
+    calibration, post_test_hook saves the int ckpt) -> int model run via
+    test.py consuming the converted checkpoint, still lossless."""
+    monkeypatch.chdir(tmp_path)
+
+    import train as train_mod
+    import test as test_mod
+
+    cfg_path = osp.join(REPO, 'config/lossl_coord/synthetic_smoke.yaml')
+    overrides = [
+        'model.channels=8',
+        'model.max_stride=64',
+        'model.max_stride_wo_recurrent=16',
+        'model.fea_stride=4',
+        'model.coord_bits=10',
+        'model.coder_lanes=8',
+        'train.batch_size=2',
+        'train.epochs=1',
+        'train.ckpt_frequency=1',
+        'train.dataset.num_samples=2',
+        'train.dataset.resolution=512',
+        'train.dataset.kd_tree_partition_max_points_num=2000',
+        'test.dataset.num_samples=1',
+        'test.dataset.resolution=512',
+    ]
+    train_mod.main([cfg_path] + overrides)
+    ckpts = sorted(glob.glob('runs/train_smoke_*/ckpts/*.pt'))
+    assert ckpts
+
+    # quantize pass: float test run that calibrates + saves the int ckpt
+    test_mod.main([cfg_path] + overrides + [
+        f'test.from_ckpt={ckpts[-1]}',
+        'model.quantize_param=True',
+        'model.int_param_save_path=weights/smoke_int.pt',
+    ])
+    assert osp.exists('weights/smoke_int.pt'), 'int checkpoint not saved'
+
+    # integer-only run through the same harness
+    test_mod.main([cfg_path] + overrides + [
+        'model_module_path=fastpcc_tpu.models.lossl_coord_int',
+        'test.from_ckpt=weights/smoke_int.pt',
+    ])
+    metric_files = sorted(glob.glob('runs/test_smoke_*/results/mean_metric.json'))
+    assert len(metric_files) >= 2
+    with open(metric_files[-1]) as f:
+        metrics = json.load(f)
+    assert metrics['bpp'] > 0
+    assert metrics['input_points_num'] == metrics['output_points_num'], \
+        'int model must stay lossless'

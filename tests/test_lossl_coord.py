@@ -139,3 +139,31 @@ def test_trained_model_compresses_better():
     recon = model.decompress(params, blob1)
     assert len(recon) == len(xyz)
     assert len(blob1) < len(blob0)
+
+
+def test_sticky_caps_no_recompile_across_samples():
+    """Dataset-stable static shapes (round-2 'weak #3'): after the first
+    (largest) cloud sets the per-scale capacities, every later cloud that
+    fits reuses the SAME compiled mega programs — a multi-scan test pass
+    pays one compile, not one per sample."""
+    cfg = _small_cfg()
+    model = Model(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    big = _random_cloud(900, 256, seed=5)
+    small = _random_cloud(240, 256, seed=6)
+
+    blob_big = model.compress(params, big)
+    caps_after_big = model._sticky_caps
+    blob_small = model.compress(params, small)
+    assert model._sticky_caps == caps_after_big, \
+        'smaller cloud must reuse the sticky capacities'
+    assert model._mega_encode._cache_size() == 1, \
+        'second sample must not retrace the mega encoder'
+
+    for xyz, blob in ((big, blob_big), (small, blob_small)):
+        recon = model.decompress(params, blob)
+        recon_sorted = recon[np.lexsort(recon.T[::-1])]
+        np.testing.assert_array_equal(recon_sorted,
+                                      xyz[np.lexsort(xyz.T[::-1])])
+    assert model._mega_decode._cache_size() == 1, \
+        'decoder shapes come from the header -> single trace as well'
