@@ -41,11 +41,23 @@ def main():
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--iters', type=int, default=2)
     ap.add_argument('--resolution', type=int, default=65536)
+    ap.add_argument('--fast-conv', type=int, default=1,
+                    help='enable the Pallas windowed-conv eval path')
+    ap.add_argument('--batch', type=int, default=1,
+                    help='frames packed per program (batched-frame '
+                         'throughput mode; batch ids ride the code high '
+                         'bits, so per-program overhead amortizes)')
+    ap.add_argument('--ckpt', type=str, default='runs/bench_ckpt.pt',
+                    help='trained checkpoint for an honest operating point '
+                         '(bpp quoted as trained); silently skipped if the '
+                         'file does not exist')
     args = ap.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from fastpcc_tpu.ops.sparse import set_fast_conv
+    set_fast_conv(bool(args.fast_conv))
     from fastpcc_tpu.models.lossl_coord import Config
     from fastpcc_tpu.models.lossl_coord.model import (Model, _bucket,
                                                       sp_pad_codes)
@@ -58,13 +70,27 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
+    trained = False
+    if args.ckpt and os.path.exists(args.ckpt):
+        from fastpcc_tpu.utils.checkpoint import (load_checkpoint,
+                                                  load_loose_params)
+        ckpt = load_checkpoint(args.ckpt)
+        loaded = ckpt.get('ema_state_dict') or ckpt['state_dict']
+        params, _warnings = load_loose_params(params, loaded, None)
+        trained = True
     rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
 
+    model.batch_hint = args.batch
     clouds = []
     cap = 0
     for i in range(args.iters + 1):
-        xyz = synthetic_lidar_scan(seed=i, resolution=args.resolution)
-        codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
+        parts = []
+        for b in range(args.batch):
+            xyz = synthetic_lidar_scan(seed=i * args.batch + b,
+                                       resolution=args.resolution)
+            c = np.unique(np_morton_encode(xyz.astype(np.int64)))
+            parts.append(c | (np.int64(b) << (3 * cfg.coord_bits)))
+        codes = np.sort(np.concatenate(parts))
         cap = max(cap, _bucket(len(codes)))
         clouds.append(codes)
     # shared static per-scale caps across the bench clouds (compile once)
@@ -101,10 +127,12 @@ def main():
     mpts = n_med / ms / 1000.0
     bpp = float(np.median([b * 8 / n for b, n in zip(nbytes, n_points[1:])]))
 
+    batch_note = f', batch={args.batch}' if args.batch > 1 else ''
+    tr_note = 'trained' if trained else 'untrained'
     print(json.dumps({
         'metric': f'lossl_coord ch{args.channels} device encode+decode '
-                  f'(device-trace time, {int(n_med)} pts/scan, '
-                  f'bpp={bpp:.2f} untrained)',
+                  f'(device-trace time, {int(n_med)} pts/program{batch_note}, '
+                  f'bpp={bpp:.2f} {tr_note})',
         'value': round(mpts, 4),
         'unit': 'Mpoints/s/chip',
         'vs_baseline': round(mpts / 1.2, 3),

@@ -25,6 +25,10 @@ class TrainConfig(SimpleConfig):
     batch_size: int = 2       # global batch size (split across the mesh)
     shuffle: bool = True
     num_workers: int = 4
+    # 'process' = fork-based worker pool (the reference's DataLoader-worker
+    # analog; numpy-heavy packing would stall threads on the GIL);
+    # 'thread' = in-process fallback.
+    worker_mode: str = 'process'
     prefetch_factor: int = 2
     epochs: int = 100
 
@@ -90,6 +94,9 @@ class TestConfig(SimpleConfig):
     num_workers: int = 0
     from_ckpt: str = ''
     log_frequency: int = 1
+    # Pallas windowed-conv eval path (ops/pallas_conv.py); auto-disabled on
+    # non-TPU backends, silently inert for non-qualifying shapes/dtypes.
+    fast_conv: bool = True
 
     dataset_module_path: str = ''
     dataset: SimpleConfig = None

@@ -205,6 +205,11 @@ class Model:
                                     static_argnums=(4,))
         self._dec_caps = None
         self._sticky_caps = None
+        # Batched-frame throughput mode: number of frames packed into one
+        # program via the code high bits (bench.py --batch). Read at TRACE
+        # time (sizes the coarsest-scale table search bound), so set it
+        # before the first jit. The single-frame CLI paths leave it at 1.
+        self.batch_hint = 1
         # uniform side CDF for bottom-coordinate CDF-row transmission
         # (reference: lossl_coord/model.py:348-351)
         cdf1 = np.arange(2, 65537, dtype=np.int64).astype(np.uint16)
@@ -422,7 +427,7 @@ class Model:
                 states[s] = _ScaleState(pc, pcnt, None, bins)
                 states[s - 1].c2p = c2p
                 states[s - 1].octant = octant
-            self._thread_tables(states, top)
+            self._thread_tables(states, top, self.batch_hint)
 
             def symbols_of(s):
                 return pyramid[s - 1][5]
@@ -435,7 +440,10 @@ class Model:
                                                   freqs, cnt)
             bptr, buf = ir.encode_flush(rs, bptr, buf)
             bottom_coords = masked_decode(states[top].codes, self.bits)
-            return bptr, buf, bottom_coords, states[top].count
+            # bottom CODES keep the packed batch bits that coords drop —
+            # the loopback roundtrip needs them in batched-frame mode
+            return bptr, buf, bottom_coords, states[top].codes, \
+                states[top].count
         finally:
             self.profile = prof
 
@@ -487,7 +495,7 @@ class Model:
             self._dec_caps = caps
             states = {top: _ScaleState(bottom_codes, bottom_count, None)}
             states[top].table = self._top_table(bottom_codes, bottom_count,
-                                                top)
+                                                top, self.batch_hint)
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
             return masked_decode(states[0].codes, self.bits)
@@ -501,13 +509,11 @@ class Model:
         host involvement. Returns (decoded coords, lossless flag, total
         stream bytes). Used for loopback verification and for artifact-free
         throughput measurement (see PERFNOTES.md)."""
-        bptr, buf, bottom_coords, bcount = \
+        bptr, buf, _coords, enc_bottom_codes, bcount = \
             self._traced_encode(params, codes, count, caps)
-        from ...ops.morton import morton_encode
         bottom_codes = jnp.where(
-            jnp.arange(bottom_coords.shape[0]) < bcount,
-            morton_encode(bottom_coords.astype(jnp.int64)),
-            jnp.int64(1) << 62)
+            jnp.arange(enc_bottom_codes.shape[0]) < bcount,
+            enc_bottom_codes, jnp.int64(1) << 62)
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
@@ -516,7 +522,8 @@ class Model:
             self._use_device_decode = True
             self._dec_caps = caps
             states = {top: _ScaleState(bottom_codes, bcount, None)}
-            states[top].table = self._top_table(bottom_codes, bcount, top)
+            states[top].table = self._top_table(bottom_codes, bcount, top,
+                                                self.batch_hint)
             self._run_scales(params, states, top, symbols_of=None,
                              decode_scale=True)
         finally:
@@ -584,7 +591,7 @@ class Model:
             cap = caps[0]
             codes = jnp.asarray(sp_pad_codes(codes_np, cap))
             t0 = time.perf_counter()
-            bptr, buf, bottom_coords_dev, bcount = self._mega_encode(
+            bptr, buf, bottom_coords_dev, _bcodes, bcount = self._mega_encode(
                 params, codes, jnp.int32(n), caps)
             if self.profile:
                 jax.block_until_ready(buf)
@@ -679,7 +686,8 @@ class Model:
         # intermediates); jnp elsewhere. Encoder and decoder both run this
         # hook on the same backend, so the quantized tables agree bit-exactly
         # (cross-BACKEND decode needs the integer model, as in the reference).
-        if jax.default_backend() == 'tpu':
+        from ...ops.sparse import _pallas_interpret
+        if not _pallas_interpret():
             from ...ops.pallas_cdf import cdf_rows_pallas
             return cdf_rows_pallas(logits)
         return _cdf_rows(logits)

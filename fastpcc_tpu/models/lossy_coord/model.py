@@ -672,6 +672,10 @@ class Model:
         self._em_coder = None
         self._rans_enc = None
         self._rans_dec = None
+        # bottom coords always use the self-contained raw coder here (the
+        # reference shells out to tmc3, model.py:386-397) — recorded per
+        # sample so RD artifacts state which coder produced them
+        self.extra_metric_info = {'bottom_coord_coder': 'bincount_raw'}
         # jitted encode/decode closures over the (static) module
         self._jit_encode = jax.jit(
             functools.partial(_encode_impl, self.net),

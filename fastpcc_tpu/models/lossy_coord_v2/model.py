@@ -561,13 +561,17 @@ class Model:
             if gpcc_available():
                 coord_stream = b'\x01' + gpcc_octree_lossless_geom_encode(
                     ecoords, '')
+                self.extra_metric_info = {'bottom_coord_coder': 'gpcc_tmc3'}
             else:
                 coord_stream = b'\x00' + V1Model._encode_bottom_coords(
                     self, enc, ecoords)
+                self.extra_metric_info = {'bottom_coord_coder':
+                                          'bincount_raw'}
             bn = en
         else:
             bcoords = np.asarray(bottom_coords_d)[:bn]
             coord_stream = V1Model._encode_bottom_coords(self, enc, bcoords)
+            self.extra_metric_info = {'bottom_coord_coder': 'bincount_raw'}
         scaler = self.cfg.adaptive_pruning_scaler
         with io.BytesIO() as bs:
             for v in offset.tolist():

@@ -390,9 +390,30 @@ def gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
     return padded[idx]
 
 
+# Trace-time switch for the Pallas windowed-conv fast path (see
+# sparse_conv_apply). Read when a conv is TRACED, so set it (set_fast_conv)
+# before the first jit of any program that should use it — already-compiled
+# programs are NOT invalidated by flipping it. Production entry points
+# (bench.py, test.py eval jits) enable it once at startup on TPU backends;
+# tests pass the explicit ``fast`` argument instead.
+FAST_CONV = False
+
+
+def set_fast_conv(enabled: bool) -> None:
+    global FAST_CONV
+    FAST_CONV = bool(enabled)
+
+
+def _pallas_interpret() -> bool:
+    # Pallas compiles natively on TPU backends (this rig's plugin registers
+    # as 'axon'); anywhere else (CPU test mesh) use interpret mode.
+    return jax.default_backend() not in ('tpu', 'axon')
+
+
 def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                       bias: Optional[jax.Array] = None,
-                      row_chunk: int = 0) -> jax.Array:
+                      row_chunk: int = 0,
+                      fast: Optional[bool] = None) -> jax.Array:
     """Apply a 3^3 sparse conv given a neighbor table.
 
     feats:   [N, Cin]
@@ -428,8 +449,20 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     reads feats directly (its table column is the identity on valid rows;
     junk rows propagate junk, which downstream count-masking already
     discards). row_chunk is kept for API compatibility and ignored.
+
+    fast=True (or the FAST_CONV module default) replaces the dense ``full``
+    branch with the Pallas windowed kernel (ops/pallas_conv.py): one
+    in-VMEM one-hot-gather pass over a +-128-row Morton window plus a
+    compacted per-tap correction for the 2-25% of rows with out-of-window
+    neighbors, falling back to ``full`` when far rows exceed N//4. Exact
+    (every dropped tap is re-added by the correction; branch predicates are
+    pure table functions, so encoder and decoder agree) but EVAL-ONLY: the
+    Pallas kernel has no VJP. Requires bf16 feats, N % 256 == 0 and
+    channels % 128 == 0 — anything else silently uses the XLA path.
     """
     del row_chunk
+    if fast is None:
+        fast = FAST_CONV
     n, cin = feats.shape
     assert table.shape[0] == n, \
         f'table rows {table.shape[0]} != feats rows {n} (miss sentinel is n)'
@@ -480,9 +513,53 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
             return out.at[idx].add(
                 jnp.where(valid_k[:, None], corr, 0.0), mode='drop')
 
+        cin_, cout_ = weights.shape[1], weights.shape[2]
+        use_fast = (fast and k == 27 and feats.dtype == jnp.bfloat16
+                    and n % 256 == 0 and cin_ % 128 == 0 and cout_ % 128 == 0)
+        if use_fast:
+            from .pallas_conv import far_mask, windowed_conv
+            fm = far_mask(table, n)                     # [N, 27] bool
+            rowfar = jnp.any(fm, axis=1)
+            nfar = jnp.sum(rowfar.astype(jnp.int32))
+            fcap = max(n // 4, 1)
+            interp = _pallas_interpret()
+
+            def windowed_full():
+                wout = windowed_conv(feats, table, weights, interpret=interp)
+
+                def with_far_correction():
+                    order = jnp.argsort(
+                        jnp.logical_not(rowfar).astype(jnp.int32),
+                        stable=True).astype(jnp.int32)
+                    idx = order[:fcap]
+                    valid_f = jnp.arange(fcap) < jnp.minimum(nfar, fcap)
+                    fm_k = fm[idx] & valid_f[:, None]
+                    tbl_k = jnp.where(fm_k, table[idx], n)      # [F, 27]
+                    padded = jnp.concatenate(
+                        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+                    corr = None
+                    for t in range(k):
+                        if t == center:
+                            continue        # the center tap is never far
+                        g = padded[tbl_k[:, t]]
+                        o = jax.lax.dot(g, weights[t],
+                                        preferred_element_type=jnp.float32)
+                        corr = o if corr is None else corr + o
+                    return wout.at[idx].add(
+                        jnp.where(valid_f[:, None], corr, 0.0), mode='drop')
+
+                return jax.lax.cond(nfar == 0, lambda: wout,
+                                    with_far_correction)
+
+            dense_branch = lambda: jax.lax.cond(  # noqa: E731
+                nfar <= fcap, windowed_full, full)
+        else:
+            dense_branch = full
+
         acc = jax.lax.cond(
             nhit == 0, center_gemm,
-            lambda: jax.lax.cond(nhit <= kcap, sparse_correction, full))
+            lambda: jax.lax.cond(nhit <= kcap, sparse_correction,
+                                 dense_branch))
     out = acc.astype(feats.dtype)
     if bias is not None:
         out = out + bias

@@ -98,7 +98,7 @@ def main():
     print(f'{"TOTAL":14} {"":>9} {sum(calls_by.values()):>6} '
           f'{total / 1e9:>10.2f}')
 
-    if jax.default_backend() == 'tpu':
+    if jax.default_backend() in ('tpu', 'axon'):
         from micro_profile import trace_ms
         # measure the whole roundtrip via the device-resident loopback
         ms, _ = trace_ms(

@@ -24,8 +24,8 @@ from fastpcc_tpu.data.ply_io import write_ply
 
 def main(root='datasets'):
     rng = np.random.default_rng(0)
-    # KITTI-format: train seq 00 (8 scans), test seq 11 (2 scans)
-    for seq, n, base_seed in (('00', 8, 0), ('11', 2, 100)):
+    # KITTI-format: train seq 00 (8 scans), test seq 11 (10 scans: steady-state eval evidence)
+    for seq, n, base_seed in (('00', 8, 0), ('11', 10, 100)):
         d = os.path.join(root, 'surrogate_kitti', 'sequences', seq,
                          'velodyne')
         os.makedirs(d, exist_ok=True)

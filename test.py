@@ -100,6 +100,10 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
                 'encode memory': enc_m.max_memory_allocated_kb,
                 'decode time': dec_t.elapsed_time,
                 'decode memory': dec_m.max_memory_allocated_kb,
+                # which auxiliary coders were active (e.g. tmc3 vs the
+                # self-contained bincount fallback) — RD numbers are not
+                # comparable across coders, so record it per sample
+                **(getattr(model, 'extra_metric_info', None) or {}),
             })
         if (i + 1) % max(cfg.test.log_frequency, 1) == 0:
             logger.info(f'[{i + 1}/{len(dataset)}] '
@@ -129,9 +133,15 @@ def main(argv: List[str]):
     with open(osp.join(run_dir, 'config.yaml'), 'w') as f:
         f.write(cfg.to_yaml())
 
-    if cfg.test.device == 'cpu':
-        os.environ.setdefault('JAX_PLATFORMS', 'cpu')
     import jax
+    if cfg.test.device == 'cpu':
+        # env-var setdefault is NOT enough: some rigs bake JAX_PLATFORMS
+        # into the environment (and a sitecustomize may pre-register a TPU
+        # plugin), so override through jax.config after import.
+        jax.config.update('jax_platforms', 'cpu')
+
+    from fastpcc_tpu.ops.sparse import set_fast_conv, _pallas_interpret
+    set_fast_conv(cfg.test.fast_conv and not _pallas_interpret())
 
     model_mod = importlib.import_module(cfg.model_module_path)
     model = model_mod.Model(cfg.model)

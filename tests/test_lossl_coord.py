@@ -167,3 +167,26 @@ def test_sticky_caps_no_recompile_across_samples():
                                       xyz[np.lexsort(xyz.T[::-1])])
     assert model._mega_decode._cache_size() == 1, \
         'decoder shapes come from the header -> single trace as well'
+
+
+def test_batched_frame_loopback_roundtrip():
+    """Batched-frame throughput mode (bench.py --batch): two frames packed
+    via the code high bits through ONE roundtrip program must be lossless,
+    with batch separation preserved down to scale 0."""
+    cfg = _small_cfg()
+    model = Model(cfg)
+    model.batch_hint = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    parts = []
+    for b in range(2):
+        xyz = _random_cloud(500 + 100 * b, 256, seed=20 + b)
+        c = np.unique(np_morton_encode(xyz.astype(np.int64)))
+        parts.append(c | (np.int64(b) << (3 * cfg.coord_bits)))
+    codes_np = np.sort(np.concatenate(parts))
+    cap = _bucket(len(codes_np))
+    caps = model._scale_caps(codes_np, cap)
+    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    _, ok, nbytes = rt(params, jnp.asarray(sp_pad_codes(codes_np, cap)),
+                       jnp.int32(len(codes_np)), caps)
+    assert bool(ok), 'batched loopback not lossless'
+    assert int(nbytes) > 0

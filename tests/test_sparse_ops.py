@@ -288,3 +288,54 @@ def test_sparse_conv_gradients_across_branches():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_pallas_conv_matches_xla_path():
+    """fast=True (Pallas windowed kernel + compacted far correction,
+    interpret mode on CPU) == fast=False per-tap XLA path, across far-row
+    regimes: none / some (<= N//4) / too many (falls back to full)."""
+    rng = np.random.default_rng(11)
+    n, cin, cout = 512, 128, 128
+    feats = jnp.asarray(rng.normal(size=(n, cin)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.05, jnp.bfloat16)
+    for far_frac in (0.0, 0.1, 0.6):
+        table_np = np.full((n, 27), n, np.int64)
+        table_np[:, 13] = np.arange(n)
+        # dense near hits (forces past the compacted-correction branch) ...
+        for r in range(n):
+            taps = rng.choice([t for t in range(27) if t != 13], size=8,
+                              replace=False)
+            table_np[r, taps] = np.clip(
+                r + rng.integers(-100, 100, size=8), 0, n - 1)
+        # ... plus far rows referencing the other end of the array
+        far_rows = rng.choice(n, size=int(n * far_frac), replace=False)
+        for r in far_rows:
+            table_np[r, rng.integers(0, 13)] = (r + n // 2) % n
+        table = jnp.asarray(table_np)
+        ref = np.asarray(sparse_conv_apply(feats, table, w, fast=False),
+                         np.float32)
+        out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
+                         np.float32)
+        scale = np.abs(ref).max() + 1e-9
+        err = np.abs(out - ref).max() / scale
+        assert err < 2e-2, (far_frac, err)
+
+
+def test_windowed_conv_unqualified_shapes_fall_back():
+    """fast=True with non-qualifying shapes/dtype must silently produce the
+    XLA-path result (no Pallas, no shape assert)."""
+    rng = np.random.default_rng(12)
+    for n, c, dt in ((384, 128, jnp.bfloat16), (512, 64, jnp.bfloat16),
+                     (512, 128, jnp.float32)):
+        feats = jnp.asarray(rng.normal(size=(n, c)), dt)
+        w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, dt)
+        table_np = np.full((n, 27), n, np.int64)
+        table_np[:, 13] = np.arange(n)
+        for r in range(n):
+            table_np[r, rng.integers(0, 27, size=6)] = rng.integers(0, n, 6)
+        table = jnp.asarray(table_np)
+        ref = np.asarray(sparse_conv_apply(feats, table, w, fast=False),
+                         np.float32)
+        out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
+                         np.float32)
+        np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-2)

@@ -71,6 +71,48 @@ def build_optimizer(cfg_train, params_divider, steps_per_epoch: int):
                                  label_fn)
 
 
+# ---------------------------------------------------------------------------
+# Prefetch workers. The batch builder must be a module-level function so the
+# process pool (fork start method: children inherit _LOADER directly, no
+# pickling of the dataset) can run it — the reference uses DataLoader worker
+# PROCESSES (reference: train.py:250-260); threads stall on the GIL once
+# real datasets stream (numpy-heavy packing).
+_LOADER = None            # (dataset, bits, acc, n_dev, local_bs, with_feats)
+
+
+def _loader_build(idxs):
+    from fastpcc_tpu.data.pc_data import pc_batch_to_codes
+    dataset, bits, acc, n_dev, local_bs, with_feats = _LOADER
+    pcs = [[None] * acc for _ in range(n_dev)]
+    cap = 0
+    for d in range(n_dev):
+        for a in range(acc):
+            lo = (d * acc + a) * local_bs
+            samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
+            pc = pc_batch_to_codes(
+                [s['xyz'] for s in samples], bits,
+                feats_list=[s['color'] for s in samples]
+                if with_feats else None)
+            pcs[d][a] = pc
+            cap = max(cap, len(pc.codes))
+    dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
+    dev_counts = np.zeros((n_dev, acc), np.int32)
+    dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
+    dev_feats = None
+    for d in range(n_dev):
+        for a in range(acc):
+            pc = pcs[d][a]
+            dev_codes[d, a, :len(pc.codes)] = pc.codes
+            dev_counts[d, a] = pc.count
+            dev_pn[d, a] = pc.points_num
+            if with_feats:
+                if dev_feats is None:
+                    dev_feats = np.zeros(
+                        (n_dev, acc, cap, pc.color.shape[-1]), np.float32)
+                dev_feats[d, a, :len(pc.color)] = pc.color
+    return dev_codes, dev_counts, dev_pn, dev_feats
+
+
 def main(argv: List[str]):
     cfg = Config()
     assert len(argv) >= 1 and argv[0].endswith('.yaml'), \
@@ -88,9 +130,12 @@ def main(argv: List[str]):
         f.write(cfg.to_yaml())
     logger.info(f'run dir: {run_dir}')
 
-    if cfg.train.device == 'cpu':
-        os.environ.setdefault('JAX_PLATFORMS', 'cpu')
     import jax
+    if cfg.train.device == 'cpu':
+        # env-var setdefault is NOT enough: some rigs bake JAX_PLATFORMS
+        # into the environment (and a sitecustomize may pre-register a TPU
+        # plugin), so override through jax.config after import.
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import optax
     jax.config.update('jax_default_matmul_precision',
@@ -158,44 +203,21 @@ def main(argv: List[str]):
     global_step = 0
     step_time_ema = None
 
-    def build_batch(idxs):
-        """Host-side batch packing, run by prefetch workers (the analog of
-        the reference's DataLoader workers + prefetch,
-        reference: train.py:250-260)."""
-        pcs = [[None] * acc for _ in range(n_dev)]
-        cap = 0
-        for d in range(n_dev):
-            for a in range(acc):
-                lo = (d * acc + a) * local_bs
-                samples = [dataset[int(i)] for i in idxs[lo:lo + local_bs]]
-                pc = pc_batch_to_codes(
-                    [s['xyz'] for s in samples], bits,
-                    feats_list=[s['color'] for s in samples]
-                    if with_feats else None)
-                pcs[d][a] = pc
-                cap = max(cap, len(pc.codes))
-        dev_codes = np.full((n_dev, acc, cap), (1 << 62), np.int64)
-        dev_counts = np.zeros((n_dev, acc), np.int32)
-        dev_pn = np.zeros((n_dev, acc, local_bs), np.float32)
-        dev_feats = None
-        for d in range(n_dev):
-            for a in range(acc):
-                pc = pcs[d][a]
-                dev_codes[d, a, :len(pc.codes)] = pc.codes
-                dev_counts[d, a] = pc.count
-                dev_pn[d, a] = pc.points_num
-                if with_feats:
-                    if dev_feats is None:
-                        dev_feats = np.zeros(
-                            (n_dev, acc, cap, pc.color.shape[-1]), np.float32)
-                    dev_feats[d, a, :len(pc.color)] = pc.color
-        return dev_codes, dev_counts, dev_pn, dev_feats
+    global _LOADER
+    _LOADER = (dataset, bits, acc, n_dev, local_bs, with_feats)
 
     import collections
     import concurrent.futures
-    pool = concurrent.futures.ThreadPoolExecutor(
-        max_workers=max(cfg.train.num_workers, 1)) \
-        if cfg.train.num_workers > 0 else None
+    pool = None
+    if cfg.train.num_workers > 0:
+        if cfg.train.worker_mode == 'process':
+            import multiprocessing as mp
+            pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=cfg.train.num_workers,
+                mp_context=mp.get_context('fork'))
+        else:
+            pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=cfg.train.num_workers)
     depth = max(cfg.train.prefetch_factor, 1) * max(cfg.train.num_workers, 1)
 
     for epoch in range(start_epoch, cfg.train.epochs):
@@ -210,14 +232,14 @@ def main(argv: List[str]):
             t0 = time.perf_counter()
             if pool is not None:
                 while next_submit < steps_per_epoch and len(pending) < depth:
-                    pending.append(pool.submit(build_batch,
+                    pending.append(pool.submit(_loader_build,
                                                slices[next_submit]))
                     next_submit += 1
                 dev_codes, dev_counts, dev_pn, dev_feats = \
                     pending.popleft().result()
             else:
                 dev_codes, dev_counts, dev_pn, dev_feats = \
-                    build_batch(slices[it])
+                    _loader_build(slices[it])
             if with_feats:
                 codes, counts, pn, feats = shard_batch(
                     mesh, dev_codes, dev_counts, dev_pn, dev_feats)
