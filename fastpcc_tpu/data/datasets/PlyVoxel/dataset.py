@@ -9,6 +9,7 @@ MPEG_GPCC_CTC_Solid.py:1-16) are plain configs here.
 """
 import glob
 import os.path as osp
+import re
 from dataclasses import dataclass, field
 from typing import Tuple, Union
 
@@ -30,6 +31,10 @@ class Config(SimpleConfig):
     random_flip: bool = False
     kd_tree_partition_max_points_num: Union[int, Tuple[int, ...]] = 0
     list_sampling_interval: int = 1
+    # inter-frame coding: load the N preceding frames of the sequence (by
+    # decrementing the last digit-run in the file name) as reference frames
+    # (reference: lib/datasets/PlyVoxel/Base/dataset.py:74-135)
+    ref_frames_num: int = 0
 
 
 def _as_tuple(v):
@@ -62,6 +67,36 @@ class Dataset(DatasetBase):
     def __len__(self):
         return len(self.files)
 
+    @staticmethod
+    def ref_frame_paths(path: str, ref_frames_num: int):
+        """Paths of the ``ref_frames_num`` frames preceding ``path`` in its
+        sequence, oldest first; None where the frame does not exist. The
+        frame index is the LAST run of digits in the path (reference:
+        lib/datasets/PlyVoxel/Base/dataset.py:80-95)."""
+        m = re.search(r'(\d+)', path[::-1])
+        if m is None:
+            return (None,) * ref_frames_num
+        start, end = m.start(0), m.end(0)
+        idx_str = path[len(path) - end:len(path) - start]
+        cur = int(idx_str)
+        out = []
+        for i in range(ref_frames_num, 0, -1):
+            ref = cur - i
+            p = (f'{path[:len(path) - end]}{ref:0{len(idx_str)}d}'
+                 f'{path[len(path) - start:]}')
+            out.append(p if ref >= 0 and osp.isfile(p) else None)
+        return tuple(out)
+
+    def _load_voxelized(self, path, scaler):
+        """Read + scale + round one PLY; returns (int xyz, uniq_idx, data)."""
+        data = read_ply(path)
+        xyz = data['xyz'].astype(np.float64)
+        if scaler != 1.0:
+            xyz = xyz * scaler
+        xyz = np.round(xyz).astype(np.int32)
+        xyz, uniq_idx = np.unique(xyz, axis=0, return_index=True)
+        return xyz, uniq_idx, data
+
     def __getitem__(self, index):
         path, resolution, scaler = self.files[index]
         data = read_ply(path)
@@ -82,6 +117,30 @@ class Dataset(DatasetBase):
             sample['color'] = data['rgb'][uniq_idx]
         if self.cfg.with_reflectance and 'reflectance' in data:
             sample['reflectance'] = data['reflectance'][uniq_idx]
+
+        if self.cfg.ref_frames_num > 0:
+            refs = self.ref_frame_paths(path, self.cfg.ref_frames_num)
+            xyzt, c_ref, r_ref = [], [], []
+            for ref_idx, rp in enumerate(refs):
+                if rp is None:
+                    continue
+                rxyz, ridx, rdata = self._load_voxelized(rp, scaler)
+                if self.cfg.ref_frames_num > 1:
+                    # 4th column = which reference frame, as in the
+                    # reference's xyzt layout (Base/dataset.py:127-130)
+                    rxyz = np.pad(rxyz, ((0, 0), (0, 1)),
+                                  constant_values=ref_idx)
+                xyzt.append(rxyz)
+                if self.cfg.with_color and 'rgb' in rdata:
+                    c_ref.append(rdata['rgb'][ridx])
+                if self.cfg.with_reflectance and 'reflectance' in rdata:
+                    r_ref.append(rdata['reflectance'][ridx])
+            if xyzt:
+                sample['xyzt_ref'] = np.concatenate(xyzt, axis=0)
+                if c_ref:
+                    sample['color_ref'] = np.concatenate(c_ref, axis=0)
+                if r_ref:
+                    sample['reflectance_ref'] = np.concatenate(r_ref, axis=0)
 
         if self.is_training and self.cfg.random_flip:
             for ax in range(3):

@@ -24,6 +24,12 @@ class PCData:
     xyz_partitions: Optional[List[np.ndarray]] = None  # test-time partitions
     color: Optional[np.ndarray] = None
     reflectance: Optional[np.ndarray] = None
+    # inter-frame fields (reference: lib/data_utils.py:44-67): previous
+    # frame(s) of a sequence, concatenated; when more than one reference
+    # frame is configured, xyzt_ref carries a 4th column = ref-frame index.
+    xyzt_ref: Optional[np.ndarray] = None
+    color_ref: Optional[np.ndarray] = None
+    reflectance_ref: Optional[np.ndarray] = None
     file_path: Sequence[str] = ()
     resolution: Sequence[int] = ()
     org_points_num: Sequence[int] = ()

@@ -37,6 +37,50 @@ def test_plyvoxel_dataset(tmp_path):
     assert s2['inv_transform'][3] == 2.0
 
 
+def test_plyvoxel_ref_frames(tmp_path):
+    """Inter-frame fields (reference: lib/datasets/PlyVoxel/Base/
+    dataset.py:74-135): with ref_frames_num > 0 the loader attaches the
+    preceding frames' voxelized coords (+frame-index column when several)
+    and their attributes; missing predecessors are skipped."""
+    from fastpcc_tpu.data.datasets.PlyVoxel import Dataset, Config
+    rng = np.random.default_rng(3)
+    clouds = []
+    for i in range(3):
+        xyz = rng.integers(0, 256, (200 + 10 * i, 3)).astype(np.float32)
+        rgb = rng.integers(0, 256, (len(xyz), 3)).astype(np.uint8)
+        write_ply(str(tmp_path / f'frame_{i:04d}.ply'), xyz, rgb=rgb)
+        clouds.append(xyz)
+    cfg = Config()
+    cfg.root = str(tmp_path)
+    cfg.with_color = True
+    cfg.ref_frames_num = 2
+    cfg.check()
+    ds = Dataset(cfg, is_training=False)
+
+    s0 = ds[0]                       # frame 0: no predecessors at all
+    assert 'xyzt_ref' not in s0
+    s2 = ds[2]                       # frame 2: refs = frames 0 and 1
+    ref = s2['xyzt_ref']
+    assert ref.shape[1] == 4         # frame-index column (ref_frames_num>1)
+    n0 = len(np.unique(np.round(clouds[0]).astype(np.int32), axis=0))
+    n1 = len(np.unique(np.round(clouds[1]).astype(np.int32), axis=0))
+    assert len(ref) == n0 + n1
+    assert set(np.unique(ref[:, 3]).tolist()) == {0, 1}
+    assert len(s2['color_ref']) == len(ref)
+
+    cfg1 = Config()
+    cfg1.root = str(tmp_path)
+    cfg1.ref_frames_num = 1
+    cfg1.check()
+    s1 = Dataset(cfg1, is_training=False)[1]
+    assert s1['xyzt_ref'].shape[1] == 3     # single ref: plain xyz
+
+    # PCData carries the fields through
+    from fastpcc_tpu.data.pc_data import PCData
+    pcd = PCData(xyzt_ref=ref)
+    assert pcd.xyzt_ref is ref and pcd.color_ref is None
+
+
 def test_shapenet_obj_sampling(tmp_path):
     from fastpcc_tpu.data.datasets.ShapeNetCorev2.dataset import (
         load_obj_mesh, sample_mesh_uniform)
