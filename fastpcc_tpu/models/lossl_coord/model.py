@@ -747,63 +747,72 @@ class Model:
         feats = self._init_feats(cap)
         collected = []
         for idx in range(top, 0, -1):
-            if not self.cfg.feature_propagation:
-                # fresh ones sized to THIS scale's capacity (caps grow toward
-                # fine scales at decode time)
-                feats = jnp.ones((states[idx].codes.shape[0], 1),
-                                 self.compute_dtype)
-            name, mod = self._block_info(idx, top)
-            p = params[name]
-            if isinstance(mod, OneScalePredictor):
-                t0 = time.perf_counter()
-                dec_feats, logits = self._nn_logits(
-                    mod, p, feats, self._table(states[idx], idx))
-                if self.profile:
-                    jax.block_until_ready(logits)
-                self._prof('nn_logits', t0)
-                bins = self._code_scale(idx, logits, states, symbols_of,
-                                        decode_scale, collected)
-                t0 = time.perf_counter()
-                if mod.if_upsample and idx != 1:
-                    feats = self._nn_upsample(
-                        mod, p, dec_feats, bins,
-                        self._table(states[idx], idx),
-                        states[idx - 1].c2p, states[idx - 1].octant)
-                else:
-                    feats = dec_feats
-                if self.profile:
-                    jax.block_until_ready(feats)
-                self._prof('nn_upsample', t0)
-            else:
-                k = mod.pred_steps
-                r = idx + k - 1
-                if k == 2:
-                    embed_dense = None
-                else:
-                    src = states[idx + 1]
-                    anc_rows = sp.compose_maps(
-                        [states[t].c2p for t in range(idx + 1, r)],
-                        states[r].codes.shape[0])
-                    embed_dense = sp.ancestor_rows_dense(
-                        src.codes, src.count,
-                        src.bins.astype(self.compute_dtype), anc_rows,
-                        states[r].codes.shape[0], k - 2)
-                root_out = self._nn_ms_root(mod, p, feats,
-                                            self._table(states[r], r),
-                                            states[r].bins, embed_dense)
-                chain_tables = tuple(self._table(states[r - i], r - i)
-                                     for i in range(k))
-                select_maps = tuple(
-                    (states[r - i - 1].c2p, states[r - i - 1].octant)
-                    for i in range(k - 1))
-                cat_bins = tuple([states[r - i].bins for i in range(1, k - 1)]
-                                 + [None])
-                logits = self._nn_ms_chain(mod, p, root_out, chain_tables,
-                                           select_maps, cat_bins)
-                self._code_scale(idx, logits, states, symbols_of,
-                                 decode_scale, collected)
-                feats = root_out
+            # named scope -> XLA op metadata -> per-scale attribution in
+            # device traces (scripts/scale_profile.py)
+            with jax.named_scope(f'scale{idx}'):
+                feats = self._one_scale(params, states, top, symbols_of,
+                                        decode_scale, collected, idx, feats)
         return collected
+
+    def _one_scale(self, params, states, top, symbols_of, decode_scale,
+                   collected, idx, feats):
+        if not self.cfg.feature_propagation:
+            # fresh ones sized to THIS scale's capacity (caps grow toward
+            # fine scales at decode time)
+            feats = jnp.ones((states[idx].codes.shape[0], 1),
+                             self.compute_dtype)
+        name, mod = self._block_info(idx, top)
+        p = params[name]
+        if isinstance(mod, OneScalePredictor):
+            t0 = time.perf_counter()
+            dec_feats, logits = self._nn_logits(
+                mod, p, feats, self._table(states[idx], idx))
+            if self.profile:
+                jax.block_until_ready(logits)
+            self._prof('nn_logits', t0)
+            bins = self._code_scale(idx, logits, states, symbols_of,
+                                    decode_scale, collected)
+            t0 = time.perf_counter()
+            if mod.if_upsample and idx != 1:
+                feats = self._nn_upsample(
+                    mod, p, dec_feats, bins,
+                    self._table(states[idx], idx),
+                    states[idx - 1].c2p, states[idx - 1].octant)
+            else:
+                feats = dec_feats
+            if self.profile:
+                jax.block_until_ready(feats)
+            self._prof('nn_upsample', t0)
+        else:
+            k = mod.pred_steps
+            r = idx + k - 1
+            if k == 2:
+                embed_dense = None
+            else:
+                src = states[idx + 1]
+                anc_rows = sp.compose_maps(
+                    [states[t].c2p for t in range(idx + 1, r)],
+                    states[r].codes.shape[0])
+                embed_dense = sp.ancestor_rows_dense(
+                    src.codes, src.count,
+                    src.bins.astype(self.compute_dtype), anc_rows,
+                    states[r].codes.shape[0], k - 2)
+            root_out = self._nn_ms_root(mod, p, feats,
+                                        self._table(states[r], r),
+                                        states[r].bins, embed_dense)
+            chain_tables = tuple(self._table(states[r - i], r - i)
+                                 for i in range(k))
+            select_maps = tuple(
+                (states[r - i - 1].c2p, states[r - i - 1].octant)
+                for i in range(k - 1))
+            cat_bins = tuple([states[r - i].bins for i in range(1, k - 1)]
+                             + [None])
+            logits = self._nn_ms_chain(mod, p, root_out, chain_tables,
+                                       select_maps, cat_bins)
+            self._code_scale(idx, logits, states, symbols_of,
+                             decode_scale, collected)
+            feats = root_out
+        return feats
 
     def _prof(self, key, t0):
         if self.profile:

@@ -76,9 +76,11 @@ def _parse_line(buf: bytes):
 
 
 def _parse_meta_entry(buf: bytes):
-    """map entry: key=1 varint, value=2 XEventMetadata."""
+    """map entry: key=1 varint, value=2 XEventMetadata (name=2,
+    display_name=3)."""
     key = 0
     name = ''
+    display = ''
     for f, wt, v in _fields(buf):
         if f == 1 and wt == 0:
             key = v
@@ -86,32 +88,38 @@ def _parse_meta_entry(buf: bytes):
             for f2, wt2, v2 in _fields(v):
                 if f2 == 2 and wt2 == 2:
                     name = v2.decode('utf-8', 'replace')
-    return key, name
+                elif f2 == 3 and wt2 == 2:
+                    display = v2.decode('utf-8', 'replace')
+    return key, name, display
 
 
-def parse_xplane(path: str) -> Dict[str, List[Tuple[str, str, int]]]:
-    """-> {plane_name: [(line_name, event_name, duration_ps), ...]}."""
+def parse_xplane(path: str, with_display: bool = False):
+    """-> {plane_name: [(line_name, event_name, duration_ps), ...]};
+    with_display=True appends the event metadata's display_name (XLA ops
+    carry the scoped tf_op/named_scope path there) as a 4th element."""
     with open(path, 'rb') as f:
         buf = f.read()
-    out: Dict[str, List[Tuple[str, str, int]]] = {}
+    out: Dict[str, list] = {}
     for f1, wt, plane in _fields(buf):
         if f1 != 1 or wt != 2:
             continue
         pname = ''
         lines = []
-        meta: Dict[int, str] = {}
+        meta: Dict[int, Tuple[str, str]] = {}
         for f2, wt2, v in _fields(plane):
             if f2 == 2 and wt2 == 2:
                 pname = v.decode('utf-8', 'replace')
             elif f2 == 3 and wt2 == 2:
                 lines.append(_parse_line(v))
             elif f2 == 4 and wt2 == 2:
-                k, n = _parse_meta_entry(v)
-                meta[k] = n
+                k, n, d = _parse_meta_entry(v)
+                meta[k] = (n, d)
         events = []
         for lname, evs in lines:
             for mid, dur in evs:
-                events.append((lname, meta.get(mid, str(mid)), dur))
+                n, d = meta.get(mid, (str(mid), ''))
+                events.append((lname, n, dur, d) if with_display
+                              else (lname, n, dur))
         out.setdefault(pname, []).extend(events)
     return out
 
