@@ -31,6 +31,10 @@ class TrainConfig(SimpleConfig):
     worker_mode: str = 'process'
     prefetch_factor: int = 2
     epochs: int = 100
+    # TensorBoard server auto-launch next to the run (reference:
+    # train.py:76-111). -1 disables (default here: headless rigs);
+    # an occupied port probes upward.
+    tensorboard_port: int = -1
 
     ema: bool = False
     ema_decay: float = 0.9999

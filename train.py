@@ -113,6 +113,35 @@ def _loader_build(idxs):
     return dev_codes, dev_counts, dev_pn, dev_feats
 
 
+def _launch_tensorboard(port: int, logdir: str, logger):
+    """Launch a TensorBoard server next to the run (reference:
+    train.py:76-111). port=-1 disables; an occupied port probes upward.
+    Returns the Popen handle (terminated on normal exit) or None."""
+    if port < 0:
+        return None
+    import shutil
+    import socket
+    import subprocess
+    exe = shutil.which('tensorboard')
+    if exe is None:
+        logger.info('tensorboard executable not found; not launching')
+        return None
+    try:
+        while True:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+                if s.connect_ex(('localhost', port)) != 0:
+                    break
+            port += 1
+        proc = subprocess.Popen(
+            [exe, f'--port={port}', '--logdir', logdir, '--bind_all'],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        logger.info(f'tensorboard launched on port {port} (logdir {logdir})')
+        return proc
+    except Exception as e:
+        logger.warning(f'failed to launch tensorboard: {e}')
+        return None
+
+
 def main(argv: List[str]):
     cfg = Config()
     assert len(argv) >= 1 and argv[0].endswith('.yaml'), \
@@ -150,6 +179,9 @@ def main(argv: List[str]):
         tb = SummaryWriter(osp.join(run_dir, 'tb'))
     except Exception:
         tb = None
+    tb_proc = _launch_tensorboard(cfg.train.tensorboard_port,
+                                  osp.join(run_dir, 'tb'), logger) \
+        if tb is not None else None
 
     model_mod = importlib.import_module(cfg.model_module_path)
     model = model_mod.Model(cfg.model)
@@ -291,6 +323,8 @@ def main(argv: List[str]):
 
     if pool is not None:
         pool.shutdown()
+    if tb_proc is not None:
+        tb_proc.terminate()
     logger.info('training done')
 
 
