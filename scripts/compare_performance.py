@@ -1,11 +1,18 @@
-"""RD comparison between methods: BD-rate/BD-PSNR tables + optional RD plots
-and CSV export (reference: scripts/compare_performance.py:22-66, 466 LoC).
+"""RD comparison across methods: BD-rate/BD-PSNR tables, CSV export, and
+per-sample / mean RD plots over every distortion metric present
+(reference: scripts/compare_performance.py — multi-method dict, D1/D2,
+c[0-3],PSNRF color channels, PCQM/GraphSIM, per-sample figure tree).
 
 Each input is a JSON of {rate_point_name: {file: metrics}} as produced by
 scripts/test_batch.py, or a single metric_dict.json.
+
+Usage:
+  python scripts/compare_performance.py anchor.json ours=test.json \
+      gpcc=tmc3.json --csv out.csv --plot-dir plots/ --mean-plot mean.png
 """
 import argparse
 import json
+import os
 import os.path as osp
 from collections import defaultdict
 
@@ -15,11 +22,21 @@ import sys
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 from fastpcc_tpu.metrics.bjontegaard import bd_rate, bd_psnr  # noqa: E402
 
-PSNR_KEY = 'mseF,PSNR (p2point)'
+# metric key -> axis label; compared for every key present in all methods
+METRIC_KEYS = (
+    ('mseF,PSNR (p2point)', 'D1 PSNR (dB)'),
+    ('mseF,PSNR (p2plane)', 'D2 PSNR (dB)'),
+    ('c[0],PSNRF', 'Y PSNR (dB)'),
+    ('c[1],PSNRF', 'U PSNR (dB)'),
+    ('c[2],PSNRF', 'V PSNR (dB)'),
+    ('c[3],PSNRF', 'YUV PSNR (dB)'),
+    ('PCQM', 'PCQM'),
+    ('GraphSIM', 'GraphSIM'),
+)
 
 
-def load_rd(path: str):
-    """-> {file: (rates[], psnrs[])} across rate points."""
+def load_rd(path: str, key: str):
+    """-> {file: (rates[], values[])} across rate points, for one metric."""
     with open(path) as f:
         data = json.load(f)
     if all(isinstance(v, dict) and 'bpp' in v for v in data.values()):
@@ -27,81 +44,137 @@ def load_rd(path: str):
     per_file = defaultdict(lambda: ([], []))
     for rp in sorted(data):
         for file, m in data[rp].items():
-            if 'bpp' in m and PSNR_KEY in m:
+            if 'bpp' in m and key in m:
                 per_file[file][0].append(m['bpp'])
-                per_file[file][1].append(m[PSNR_KEY])
-    return per_file
+                per_file[file][1].append(m[key])
+    return dict(per_file)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('anchor')
-    ap.add_argument('test')
+    ap.add_argument('anchor', help='anchor RD json (or name=path)')
+    ap.add_argument('methods', nargs='+',
+                    help='one or more comparison RD jsons, each as '
+                         'name=path (bare path: name from the filename)')
     ap.add_argument('--csv', default='')
-    ap.add_argument('--plot', default='')
     ap.add_argument('--plot-dir', default='',
-                    help='write one RD curve figure per sample '
-                         '(reference: compare_performance.py per-sample plots)')
-    ap.add_argument('--psnr-key', default=PSNR_KEY)
+                    help='one RD figure per (sample, metric), all methods '
+                         'overlaid')
+    ap.add_argument('--mean-plot', '--plot', dest='mean_plot', default='',
+                    help='dataset-mean RD figure (D1; one per metric when a '
+                         'directory is given)')
+    ap.add_argument('--metrics', default='',
+                    help='comma-separated metric keys (default: every key '
+                         'of METRIC_KEYS present in all inputs)')
     args = ap.parse_args()
 
-    anchor = load_rd(args.anchor)
-    test = load_rd(args.test)
-    rows = []
-    for file in sorted(set(anchor) & set(test)):
-        ra, pa = anchor[file]
-        rt, pt = test[file]
-        if len(ra) < 2 or len(rt) < 2:
-            continue
-        rows.append((file, bd_rate(ra, pa, rt, pt), bd_psnr(ra, pa, rt, pt)))
+    def parse_m(spec):
+        if '=' in spec:
+            name, path = spec.split('=', 1)
+        else:
+            name, path = osp.splitext(osp.basename(spec))[0], spec
+        return name, path
 
-    print(f'{"file":60s} {"BD-rate %":>10s} {"BD-PSNR dB":>10s}')
-    for file, br, bp in rows:
-        print(f'{osp.basename(file):60s} {br:10.2f} {bp:10.3f}')
-    if rows:
-        print(f'{"MEAN":60s} {np.mean([r[1] for r in rows]):10.2f} '
-              f'{np.mean([r[2] for r in rows]):10.3f}')
+    anchor_name, anchor_path = parse_m(args.anchor)
+    methods = [parse_m(s) for s in args.methods]
+
+    if args.metrics:
+        keys = [(k, k) for k in args.metrics.split(',')]
+    else:
+        keys = []
+        for key, label in METRIC_KEYS:
+            if load_rd(anchor_path, key) and \
+                    all(load_rd(p, key) for _, p in methods):
+                keys.append((key, label))
+    if not keys:
+        raise SystemExit('no shared distortion metric across inputs')
+
+    csv_rows = []
+    for key, label in keys:
+        anchor = load_rd(anchor_path, key)
+        print(f'\n== {label} (vs anchor {anchor_name}) ==')
+        for mname, mpath in methods:
+            test = load_rd(mpath, key)
+            rows = []
+            for file in sorted(set(anchor) & set(test)):
+                ra, pa = anchor[file]
+                rt, pt = test[file]
+                if len(ra) < 2 or len(rt) < 2:
+                    continue
+                rows.append((file, bd_rate(ra, pa, rt, pt),
+                             bd_psnr(ra, pa, rt, pt)))
+            print(f'-- {mname}')
+            print(f'{"file":55s} {"BD-rate %":>10s} {"BD-PSNR":>10s}')
+            for file, br, bp in rows:
+                print(f'{osp.basename(file):55s} {br:10.2f} {bp:10.3f}')
+                csv_rows.append((mname, key, file, br, bp))
+            if rows:
+                mb, mp = (np.mean([r[1] for r in rows]),
+                          np.mean([r[2] for r in rows]))
+                print(f'{"MEAN":55s} {mb:10.2f} {mp:10.3f}')
+                csv_rows.append((mname, key, 'MEAN', mb, mp))
 
     if args.csv:
-        with open(args.csv, 'w') as f:
-            f.write('file,bd_rate_percent,bd_psnr_db\n')
-            for file, br, bp in rows:
-                f.write(f'{file},{br},{bp}\n')
-    if args.plot_dir:
-        import os
+        import csv
+        with open(args.csv, 'w', newline='') as f:
+            w = csv.writer(f)
+            w.writerow(('method', 'metric', 'file',
+                        'bd_rate_percent', 'bd_psnr'))
+            w.writerows(csv_rows)
+        print(f'\nwrote {args.csv}')
+
+    if args.plot_dir or args.mean_plot:
         import matplotlib
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
-        os.makedirs(args.plot_dir, exist_ok=True)
-        for file in sorted(set(anchor) & set(test)):
-            fig, ax = plt.subplots()
-            ra, pa = anchor[file]
-            rt, pt = test[file]
-            ax.plot(ra, pa, marker='o', label='anchor')
-            ax.plot(rt, pt, marker='s', label='test')
-            ax.set_xlabel('bpp')
-            ax.set_ylabel('D1 PSNR (dB)')
-            ax.set_title(osp.basename(file))
-            ax.legend()
-            out = osp.join(args.plot_dir,
-                           osp.splitext(osp.basename(file))[0] + '_rd.png')
-            fig.savefig(out, dpi=120)
-            plt.close(fig)
-        print(f'wrote per-sample RD plots to {args.plot_dir}')
-    if args.plot:
-        import matplotlib
-        matplotlib.use('Agg')
-        import matplotlib.pyplot as plt
-        fig, ax = plt.subplots()
-        for label, rd in (('anchor', anchor), ('test', test)):
-            all_r = np.mean([r for r, _ in rd.values()], axis=0)
-            all_p = np.mean([p for _, p in rd.values()], axis=0)
-            ax.plot(all_r, all_p, marker='o', label=label)
-        ax.set_xlabel('bpp')
-        ax.set_ylabel('D1 PSNR (dB)')
-        ax.legend()
-        fig.savefig(args.plot, dpi=150)
-        print(f'wrote {args.plot}')
+        all_methods = [(anchor_name, anchor_path)] + methods
+        for key, label in keys:
+            rds = {n: load_rd(p, key) for n, p in all_methods}
+            safe = label.replace(' ', '_').replace('(', '').replace(')', '')
+            if args.plot_dir:
+                out_dir = osp.join(args.plot_dir, f'sample-wise {label}')
+                os.makedirs(out_dir, exist_ok=True)
+                files = sorted(set.intersection(
+                    *[set(rd) for rd in rds.values()]))
+                for file in files:
+                    fig, ax = plt.subplots(figsize=(4.5, 3.4))
+                    for n, rd in rds.items():
+                        r, p = rd[file]
+                        ax.plot(r, p, marker='o', label=n)
+                    ax.grid(True)
+                    ax.set_xlabel('BPP (Bits Per Input Point)')
+                    ax.set_ylabel(label)
+                    ax.set_title(osp.splitext(osp.basename(file))[0])
+                    ax.legend(fontsize=7)
+                    fig.savefig(osp.join(
+                        out_dir,
+                        osp.splitext(osp.basename(file))[0] + '.png'),
+                        dpi=120, bbox_inches='tight')
+                    plt.close(fig)
+            if args.mean_plot:
+                fig, ax = plt.subplots(figsize=(4.5, 3.4))
+                for n, rd in rds.items():
+                    lens = {len(r) for r, _ in rd.values()}
+                    if len(lens) != 1:
+                        continue        # ragged rate ladders: skip the mean
+                    ax.plot(np.mean([r for r, _ in rd.values()], axis=0),
+                            np.mean([p for _, p in rd.values()], axis=0),
+                            marker='o', label=n)
+                ax.grid(True)
+                ax.set_xlabel('BPP (Bits Per Input Point)')
+                ax.set_ylabel(label)
+                ax.legend(fontsize=7)
+                if osp.splitext(args.mean_plot)[1]:
+                    out = args.mean_plot if len(keys) == 1 else \
+                        f'{osp.splitext(args.mean_plot)[0]}_{safe}.png'
+                else:
+                    os.makedirs(args.mean_plot, exist_ok=True)
+                    out = osp.join(args.mean_plot, f'mean_{safe}.png')
+                fig.savefig(out, dpi=150, bbox_inches='tight')
+                plt.close(fig)
+                print(f'wrote {out}')
+        if args.plot_dir:
+            print(f'wrote per-sample RD plots under {args.plot_dir}')
 
 
 if __name__ == '__main__':
