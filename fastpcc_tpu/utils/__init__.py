@@ -1,1 +1,2 @@
-from .misc import autoindex_obj, Timer, eta_by_seconds, human_bytes, DeviceMemoryMonitor
+from .misc import (autoindex_obj, make_new_dirs, Timer, eta_by_seconds,
+                   human_bytes, DeviceMemoryMonitor)

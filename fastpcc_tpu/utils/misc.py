@@ -9,9 +9,13 @@ import jax
 
 
 def autoindex_obj(path: str) -> str:
-    """Expand ``<autoindex>`` (next free integer) and ``<maxindex>`` (largest
-    existing integer) templates in a path (reference: lib/utils.py:20-44)."""
-    for tag, pick_next in (('<autoindex>', True), ('<maxindex>', False)):
+    """Expand ``<autoindex>`` (next free integer), ``<maxindex>`` /
+    ``<minindex>`` (largest / smallest existing integer) templates in a path
+    (reference: lib/utils.py:20-44)."""
+    picks = {'<autoindex>': lambda xs: max(xs) + 1 if xs else 0,
+             '<maxindex>': lambda xs: max(xs) if xs else 0,
+             '<minindex>': lambda xs: min(xs) if xs else 0}
+    for tag, pick in picks.items():
         if tag not in path:
             continue
         prefix, _, suffix = path.partition(tag)
@@ -24,12 +28,21 @@ def autoindex_obj(path: str) -> str:
                 m = pattern.match(name)
                 if m:
                     indices.append(int(m.group(1)))
-        if pick_next:
-            idx = max(indices) + 1 if indices else 0
-        else:
-            idx = max(indices) if indices else 0
-        path = prefix + str(idx) + suffix
+        path = prefix + str(pick(indices)) + suffix
     return path
+
+
+def make_new_dirs(dir_path: str, logger=None) -> None:
+    """Create ``dir_path``; when it already exists, rotate the old directory
+    to ``<dir_path>_bak<N>`` first (reference: lib/utils.py:10-17), so a rerun
+    with the same rundir_name never mixes artifacts with a previous run."""
+    if osp.exists(dir_path):
+        target = autoindex_obj(str(dir_path) + '_bak<autoindex>')
+        os.rename(dir_path, target)
+        if logger is not None:
+            logger.warning(f'folder "{dir_path}" already exists; '
+                           f'renamed to {target}')
+    os.makedirs(dir_path)
 
 
 class Timer:

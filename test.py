@@ -14,7 +14,8 @@ from typing import List
 import numpy as np
 
 from fastpcc_tpu.config import Config
-from fastpcc_tpu.utils import autoindex_obj, Timer, DeviceMemoryMonitor
+from fastpcc_tpu.utils import (autoindex_obj, make_new_dirs, Timer,
+                               DeviceMemoryMonitor)
 from fastpcc_tpu.utils.logging_utils import make_logger
 from fastpcc_tpu.utils.checkpoint import load_checkpoint, load_loose_params
 
@@ -128,7 +129,7 @@ def main(argv: List[str]):
     cfg.check()
 
     run_dir = autoindex_obj(osp.join('runs', cfg.test.rundir_name))
-    os.makedirs(run_dir, exist_ok=True)
+    make_new_dirs(run_dir)   # rotates an existing dir to _bak<N> (ref lib/utils.py:10-17)
     logger = make_logger('fastpcc', osp.join(run_dir, 'log.txt'))
     with open(osp.join(run_dir, 'config.yaml'), 'w') as f:
         f.write(cfg.to_yaml())
@@ -166,4 +167,12 @@ def main(argv: List[str]):
 
 
 if __name__ == '__main__':
-    main(sys.argv[1:])
+    try:
+        main(sys.argv[1:])
+    except Exception:
+        # mirror the reference: the crash traceback lands in log.txt
+        # too, not only on stderr (ref train.py:115-121)
+        import logging
+        logging.getLogger('fastpcc').exception('testing crashed')
+        raise
+

@@ -106,3 +106,16 @@ def test_autoindex(tmp_path):
     assert autoindex_obj(str(tmp_path / 'run_<autoindex>')) == str(tmp_path / 'run_4')
     assert autoindex_obj(str(tmp_path / 'run_<maxindex>')) == str(tmp_path / 'run_3')
     assert autoindex_obj(str(tmp_path / 'fresh_<autoindex>')) == str(tmp_path / 'fresh_0')
+    assert autoindex_obj(str(tmp_path / 'run_<minindex>')) == str(tmp_path / 'run_0')
+
+
+def test_make_new_dirs_rotates_existing(tmp_path):
+    from fastpcc_tpu.utils import make_new_dirs
+    d = tmp_path / 'run'
+    make_new_dirs(str(d))
+    (d / 'old.txt').write_text('x')
+    make_new_dirs(str(d))            # rotates old dir to run_bak0
+    assert d.is_dir() and not (d / 'old.txt').exists()
+    assert (tmp_path / 'run_bak0' / 'old.txt').read_text() == 'x'
+    make_new_dirs(str(d))
+    assert (tmp_path / 'run_bak1').is_dir()

@@ -17,7 +17,8 @@ from typing import List
 import numpy as np
 
 from fastpcc_tpu.config import Config
-from fastpcc_tpu.utils import autoindex_obj, Timer, eta_by_seconds
+from fastpcc_tpu.utils import (autoindex_obj, make_new_dirs, Timer,
+                               eta_by_seconds)
 from fastpcc_tpu.utils.logging_utils import make_logger
 from fastpcc_tpu.utils.checkpoint import (save_checkpoint, load_checkpoint,
                                           load_loose_params)
@@ -135,6 +136,9 @@ def _launch_tensorboard(port: int, logdir: str, logger):
         proc = subprocess.Popen(
             [exe, f'--port={port}', '--logdir', logdir, '--bind_all'],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        # also reaps the child when training crashes (ref train.py:115-121)
+        import atexit
+        atexit.register(proc.terminate)
         logger.info(f'tensorboard launched on port {port} (logdir {logdir})')
         return proc
     except Exception as e:
@@ -151,7 +155,7 @@ def main(argv: List[str]):
     cfg.check()
 
     run_dir = autoindex_obj(osp.join('runs', cfg.train.rundir_name))
-    os.makedirs(run_dir, exist_ok=True)
+    make_new_dirs(run_dir)   # rotates an existing dir to _bak<N> (ref lib/utils.py:10-17)
     ckpts_dir = osp.join(run_dir, 'ckpts')
     os.makedirs(ckpts_dir, exist_ok=True)
     logger = make_logger('fastpcc', osp.join(run_dir, 'log.txt'))
@@ -329,4 +333,12 @@ def main(argv: List[str]):
 
 
 if __name__ == '__main__':
-    main(sys.argv[1:])
+    try:
+        main(sys.argv[1:])
+    except Exception:
+        # mirror the reference: the crash traceback lands in log.txt
+        # too, not only on stderr (ref train.py:115-121)
+        import logging
+        logging.getLogger('fastpcc').exception('training crashed')
+        raise
+
