@@ -101,8 +101,21 @@ def main():
            for c in clouds]
     n_points = [len(c) for c in clouds]
 
-    out0 = rt(params, *dev[0])            # compile + warm
-    jax.block_until_ready(out0)
+    try:
+        out0 = rt(params, *dev[0])        # compile + warm
+        jax.block_until_ready(out0)
+    except Exception as e:                # pragma: no cover - rig-dependent
+        if not args.fast_conv:
+            raise
+        # Mosaic lowering is rig-sensitive (PERFNOTES.md): never let the
+        # fast-conv path take the whole bench down — fall back to the XLA
+        # conv and measure that.
+        print(f'fast-conv path failed to compile ({type(e).__name__}); '
+              f'falling back to the XLA conv path', file=sys.stderr)
+        set_fast_conv(False)
+        rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+        out0 = rt(params, *dev[0])
+        jax.block_until_ready(out0)
     time.sleep(1)
 
     logdir = f'/tmp/bench_trace_{time.time_ns()}'
