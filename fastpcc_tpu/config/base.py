@@ -41,7 +41,7 @@ class TrainConfig(SimpleConfig):
     ema_warmup: bool = False
     ema_warmup_gamma: float = 1.0
     ema_warmup_power: float = 3 / 4
-    amp_dtype: str = ''       # '' | 'bfloat16' — compute dtype for the fwd pass
+    amp_dtype: str = ''       # '' | 'bfloat16' — overrides model.compute_dtype
 
     optimizer: str_or_seq = ('SGD', 'SGD')
     learning_rate: float_or_seq = 0.05

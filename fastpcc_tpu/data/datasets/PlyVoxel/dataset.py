@@ -48,11 +48,13 @@ class Dataset(DatasetBase):
         lists = _as_tuple(cfg.filelist_path)
         resolutions = _as_tuple(cfg.resolution)
         scalers = _as_tuple(cfg.coord_scaler)
+        caps = _as_tuple(cfg.kd_tree_partition_max_points_num)
         self.files = []
         for i, root in enumerate(roots):
             flist = lists[min(i, len(lists) - 1)]
             res = resolutions[min(i, len(resolutions) - 1)]
             sc = scalers[min(i, len(scalers) - 1)]
+            cap = caps[min(i, len(caps) - 1)]
             if flist:
                 with open(osp.join(root, flist)) as f:
                     names = [line.strip() for line in
@@ -61,7 +63,10 @@ class Dataset(DatasetBase):
                 names = sorted(osp.relpath(p, root) for p in
                                glob.glob(osp.join(root, '**', '*.ply'),
                                          recursive=True))
-            self.files += [(osp.join(root, n), res, sc) for n in names]
+            # partition cap rides per root/subset, like resolution and
+            # scaler (reference: Base/dataset.py:39-41,58-68 — per-file
+            # file_partition_max_points_num_list)
+            self.files += [(osp.join(root, n), res, sc, cap) for n in names]
         self.rng = np.random.default_rng()
 
     def __len__(self):
@@ -98,7 +103,7 @@ class Dataset(DatasetBase):
         return xyz, uniq_idx, data
 
     def __getitem__(self, index):
-        path, resolution, scaler = self.files[index]
+        path, resolution, scaler, par_cap = self.files[index]
         data = read_ply(path)
         xyz = data['xyz'].astype(np.float64)
         org_points_num = len(xyz)
@@ -109,6 +114,7 @@ class Dataset(DatasetBase):
 
         sample = dict(xyz=xyz, file_path=path,
                       org_points_num=org_points_num,
+                      partition_cap=par_cap,
                       resolution=int(round(resolution * scaler))
                       if scaler != 1.0 else resolution,
                       inv_transform=np.array([0, 0, 0, 1 / scaler], np.float32)
@@ -148,8 +154,7 @@ class Dataset(DatasetBase):
                     xyz[:, ax] = xyz[:, ax].max() - xyz[:, ax]
             sample['xyz'] = xyz
         if self.is_training:
-            cap = self.cfg.kd_tree_partition_max_points_num
-            cap = cap[0] if isinstance(cap, (tuple, list)) else cap
+            cap = par_cap
             if cap and len(xyz) > cap:
                 from ...kd_partition import kd_tree_partition_randomly_idx
                 idx = kd_tree_partition_randomly_idx(xyz, cap, self.rng)

@@ -20,14 +20,23 @@ from ..data.ply_io import write_ply, read_ply
 
 
 def _distortion_job(pred, file_path, resolution, compute_d2, pred_color,
-                    pred_reflectance=None):
+                    pred_reflectance=None, use_avs=False, recon_path=None):
     data = read_ply(file_path) if file_path.endswith('.ply') else None
     if data is None:
         return {}
     ref = data['xyz']
-    out = mpeg_pc_error(file_path, '', resolution,
-                        color=pred_color is not None,
-                        reflectance=pred_reflectance is not None)
+    out = {}
+    if use_avs and recon_path:
+        # AVS pc_evalue variant (reference: lib/metrics/
+        # pc_error_wrapper.py:110-156), $PC_EVALUE_BIN-gated
+        from .pc_error import avs_pc_evalue
+        out = avs_pc_evalue(file_path, recon_path, resolution,
+                            color=pred_color is not None,
+                            reflectance=pred_reflectance is not None)
+    if not out and recon_path:
+        out = mpeg_pc_error(file_path, recon_path, resolution,
+                            color=pred_color is not None,
+                            reflectance=pred_reflectance is not None)
     if not out:
         out = compute_d1_d2_psnr(pred, ref, resolution, compute_d2=compute_d2)
     if pred_color is not None and 'rgb' in data:
@@ -45,6 +54,7 @@ class PCCEvaluator:
                  cal_avs_pc_evalue: bool = False, compute_d2: bool = True,
                  max_workers: Optional[int] = None):
         self.compute_distortion = cal_mpeg_pc_error or cal_avs_pc_evalue
+        self.cal_avs_pc_evalue = cal_avs_pc_evalue
         self.compute_d2 = compute_d2
         self.metric_dict: Dict[str, Dict] = {}
         self._pool = None
@@ -75,13 +85,14 @@ class PCCEvaluator:
         }
         if extra_info_dict:
             entry.update(extra_info_dict)
+        recon_path = None
         if results_dir:
             base = osp.splitext(osp.basename(file_path))[0]
             os.makedirs(results_dir, exist_ok=True)
             with open(osp.join(results_dir, base + '.bin'), 'wb') as f:
                 f.write(compressed_bytes)
-            write_ply(osp.join(results_dir, base + '_recon.ply'),
-                      np.asarray(pred),
+            recon_path = osp.join(results_dir, base + '_recon.ply')
+            write_ply(recon_path, np.asarray(pred),
                       rgb=None if pred_color is None
                       else np.asarray(pred_color),
                       reflectance=None if pred_reflectance is None
@@ -93,7 +104,8 @@ class PCCEvaluator:
                 resolution, self.compute_d2,
                 None if pred_color is None else np.asarray(pred_color),
                 None if pred_reflectance is None
-                else np.asarray(pred_reflectance))
+                else np.asarray(pred_reflectance),
+                self.cal_avs_pc_evalue, recon_path)
             self._futures[file_path] = fut
         self.metric_dict[file_path] = entry
         return entry

@@ -113,6 +113,56 @@ def mpeg_pc_error(infile1: str, infile2: str, resolution: float,
     return out
 
 
+_AVS_SECTION_START = '1. Take original point cloud as reference:'
+_AVS_SECTION_SKIP = ('2. Take reconstruct point cloud as reference:',
+                     '3. Symmetric result:')
+_AVS_SECTION_END = 'Point cloud evalue processing time'
+
+
+def avs_pc_evalue(infile1: str, infile2: str, resolution: float,
+                  hausdorff: bool = False, color: bool = False,
+                  reflectance: bool = False,
+                  binary: str = '') -> Dict[str, float]:
+    """Run the AVS ``pc_evalue`` binary and parse its sectioned stdout
+    (reference: lib/metrics/pc_error_wrapper.py:110-156 — same CLI flags,
+    same divider lines, same ``key: value`` metric harvest). Returns {} if
+    no binary is available ($PC_EVALUE_BIN, like $PC_ERROR_BIN for
+    mpeg_pc_error); raises if the binary ran but produced no metrics."""
+    binary = binary or os.environ.get('PC_EVALUE_BIN', '')
+    if not binary or not os.path.isfile(binary):
+        return {}
+    cmd = [binary, '-f1', infile1, '-f2', infile2,
+           '--peakvalue', str(resolution - 1),
+           '--show_hausdorff', '1' if hausdorff else '0']
+    if color:
+        cmd.append('-cc')
+    if reflectance:
+        cmd += ['-cr', '-rod', '8']
+    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out: Dict[str, float] = {}
+    reading = False
+    read_points = False
+    for line in res.stdout.splitlines():
+        if not read_points and line.startswith(' point cloud size: '):
+            out['org points num'] = int(line.rstrip().rsplit(' ', 1)[-1])
+            read_points = True
+        elif line.startswith(_AVS_SECTION_START):
+            reading = True
+        elif line.startswith(_AVS_SECTION_SKIP):
+            pass
+        elif line.startswith(_AVS_SECTION_END):
+            break
+        elif reading and ':' in line:
+            key, _, val = line.strip().partition(':')
+            try:
+                out[key.strip()] = float(val)
+            except ValueError:
+                continue
+    if not out:
+        raise RuntimeError(res.stdout)
+    return out
+
+
 def compute_color_psnr(pred: np.ndarray, pred_rgb: np.ndarray,
                        ref: np.ndarray, ref_rgb: np.ndarray) -> Dict[str, float]:
     """Symmetric YUV (BT.709) color PSNR over nearest-neighbor

@@ -9,6 +9,13 @@ scripts/test_batch.py, or a single metric_dict.json.
 Usage:
   python scripts/compare_performance.py anchor.json ours=test.json \
       gpcc=tmc3.json --csv out.csv --plot-dir plots/ --mean-plot mean.png
+
+Published-anchor mode (BASELINE.json `published_anchors`): compare a run's
+dataset MEAN against encoded literature anchors (clearly labeled — the
+anchors are approximate published numbers, the run is typically
+surrogate-trained, so this is a trend signal, not a parity claim):
+  python scripts/compare_performance.py ours=test.json \
+      --anchors BASELINE.json --anchor-dataset kitti_odometry_12bit_lossless_geom
 """
 import argparse
 import json
@@ -50,12 +57,73 @@ def load_rd(path: str, key: str):
     return dict(per_file)
 
 
+def compare_published_anchors(methods, anchors_path: str, dataset_key: str):
+    """Run mean vs encoded literature anchors (BASELINE.json
+    published_anchors). Lossless entries compare mean bpp; lossy entries
+    BD-rate the run's dataset-mean RD curve against each anchor curve."""
+    with open(anchors_path) as f:
+        table = json.load(f).get('published_anchors', {})
+    if dataset_key not in table:
+        known = [k for k in table if not k.startswith('_')]
+        raise SystemExit(f'unknown anchor dataset {dataset_key!r}; '
+                         f'available: {known}')
+    entry = table[dataset_key]
+    conf = entry.get('confidence', 'unknown')
+    print(f'\n== PUBLISHED-ANCHOR comparison: {entry["dataset"]} ==')
+    print(f'   anchors are published literature values (confidence: {conf});')
+    print(f'   the run under test is typically surrogate-trained — read this '
+          f'as a trend signal, NOT a parity claim.')
+    for mname, mpath in methods:
+        if entry['task'] == 'lossless-geometry':
+            rd = load_rd(mpath, 'bpp')
+            bpps = [r for rates, _ in rd.values() for r in rates] or [
+                m['bpp'] for rp in json.load(open(mpath)).values()
+                for m in (rp.values() if isinstance(rp, dict) else [])
+                if isinstance(m, dict) and 'bpp' in m]
+            if not bpps:
+                print(f'-- {mname}: no bpp entries found in {mpath}')
+                continue
+            mean_bpp = float(np.mean(bpps))
+            print(f'-- {mname}: mean bpp {mean_bpp:.3f}')
+            for aname, abpp in entry['anchors'].items():
+                ratio = mean_bpp / abpp
+                print(f'   vs {aname:24s} (published {abpp:6.2f} bpp): '
+                      f'{ratio:6.2f}x anchor rate')
+        else:
+            key = entry['metric']
+            rd = load_rd(mpath, key)
+            if not rd:
+                print(f'-- {mname}: metric {key!r} absent from {mpath}')
+                continue
+            lens = {len(r) for r, _ in rd.values()}
+            if len(lens) != 1 or lens == {1}:
+                print(f'-- {mname}: need >=2 rate points with uniform '
+                      f'ladders for BD-rate (got lengths {sorted(lens)})')
+                continue
+            mr = np.mean([r for r, _ in rd.values()], axis=0)
+            mp = np.mean([p for _, p in rd.values()], axis=0)
+            print(f'-- {mname}: dataset-mean curve over {len(rd)} files')
+            for aname, curve in entry['anchors'].items():
+                br = bd_rate(curve['bpp'], curve['psnr'], list(mr), list(mp))
+                bp = bd_psnr(curve['bpp'], curve['psnr'], list(mr), list(mp))
+                print(f'   vs {aname:24s}: BD-rate {br:8.2f} %  '
+                      f'BD-PSNR {bp:7.3f} dB')
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('anchor', help='anchor RD json (or name=path)')
-    ap.add_argument('methods', nargs='+',
+    ap.add_argument('anchor', nargs='?', default='',
+                    help='anchor RD json (or name=path); optional when '
+                         '--anchors is used')
+    ap.add_argument('methods', nargs='*',
                     help='one or more comparison RD jsons, each as '
                          'name=path (bare path: name from the filename)')
+    ap.add_argument('--anchors', default='',
+                    help='BASELINE.json-style file with published_anchors; '
+                         'compares each method mean against the literature')
+    ap.add_argument('--anchor-dataset', default='',
+                    help='published_anchors key (e.g. '
+                         'kitti_odometry_12bit_lossless_geom)')
     ap.add_argument('--csv', default='')
     ap.add_argument('--plot-dir', default='',
                     help='one RD figure per (sample, metric), all methods '
@@ -75,6 +143,19 @@ def main():
             name, path = osp.splitext(osp.basename(spec))[0], spec
         return name, path
 
+    if args.anchors:
+        specs = ([args.anchor] if args.anchor else []) + args.methods
+        if not specs:
+            raise SystemExit('--anchors needs at least one run json')
+        if not args.anchor_dataset:
+            raise SystemExit('--anchors requires --anchor-dataset')
+        compare_published_anchors([parse_m(s) for s in specs],
+                                  args.anchors, args.anchor_dataset)
+        return
+
+    if not args.anchor or not args.methods:
+        raise SystemExit('need an anchor json plus >=1 method json '
+                         '(or use --anchors mode)')
     anchor_name, anchor_path = parse_m(args.anchor)
     methods = [parse_m(s) for s in args.methods]
 

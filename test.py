@@ -30,15 +30,17 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
     results_dir = osp.join(run_dir, 'results')
     os.makedirs(results_dir, exist_ok=True)
 
-    evaluator = getattr(model, 'evaluator', None) or PCCEvaluator()
+    evaluator = getattr(model, 'evaluator', None) or PCCEvaluator(
+        cal_mpeg_pc_error=bool(getattr(cfg.model, 'cal_mpeg_pc_error', True)),
+        cal_avs_pc_evalue=bool(getattr(cfg.model, 'cal_avs_pc_evalue', False)))
     evaluator.reset()
     if hasattr(model, 'pre_test_hook'):
         model.pre_test_hook()
 
-    partition_cap = getattr(cfg.test.dataset,
-                            'kd_tree_partition_max_points_num', 0)
-    if isinstance(partition_cap, (tuple, list)):
-        partition_cap = partition_cap[0] if partition_cap else 0
+    cfg_partition_cap = getattr(cfg.test.dataset,
+                                'kd_tree_partition_max_points_num', 0)
+    if isinstance(cfg_partition_cap, (tuple, list)):
+        cfg_partition_cap = cfg_partition_cap[0] if cfg_partition_cap else 0
 
     with_feats = bool(getattr(model, 'requires_point_feats', False))
     for i in range(len(dataset)):
@@ -48,6 +50,11 @@ def run_test(cfg: Config, model, params, logger, run_dir: str):
         if with_feats and color is None:
             raise ValueError(f'{cfg.model_module_path} needs per-point RGB '
                              f'but the dataset sample has none')
+        # multi-subset datasets carry a per-file cap (reference indexes the
+        # per-resolution tuple per file, lib/datasets/PlyVoxel/Base/
+        # dataset.py:58-68,254); plain datasets fall back to the config scalar
+        partition_cap = sample.get('partition_cap', cfg_partition_cap) \
+            or cfg_partition_cap
         if partition_cap and len(xyz) > partition_cap:
             from fastpcc_tpu.data.kd_partition import kd_tree_partition_idx
             idx_parts = kd_tree_partition_idx(xyz, partition_cap)

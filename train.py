@@ -188,6 +188,14 @@ def main(argv: List[str]):
         if tb is not None else None
 
     model_mod = importlib.import_module(cfg.model_module_path)
+    if cfg.train.amp_dtype and hasattr(cfg.model, 'compute_dtype'):
+        # train.amp_dtype is the harness-level AMP switch (reference
+        # train.py uses a global autocast dtype); the per-model
+        # compute_dtype is the mechanism that actually threads through
+        # the forward pass, so the harness flag overrides it.
+        cfg.model.compute_dtype = cfg.train.amp_dtype
+        logger.info(f'train.amp_dtype={cfg.train.amp_dtype} overrides '
+                    f'model.compute_dtype')
     model = model_mod.Model(cfg.model)
     dataset_mod = importlib.import_module(cfg.train.dataset_module_path)
     dataset = dataset_mod.Dataset(cfg.train.dataset, True, logger)
