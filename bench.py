@@ -140,9 +140,9 @@ def run_bench(args):
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from fastpcc_tpu.ops.sparse import set_fast_conv
-    from fastpcc_tpu.ops.pallas_rans import set_pallas_coder
+    from fastpcc_tpu.ops import pallas_rans
     set_fast_conv(bool(args.fast_conv))
-    set_pallas_coder(bool(args.pallas_coder))
+    pallas_rans.set_pallas_coder(bool(args.pallas_coder))
     from fastpcc_tpu.models.lossl_coord import Config
     from fastpcc_tpu.models.lossl_coord.model import (Model, _bucket,
                                                       sp_pad_codes)
@@ -163,9 +163,13 @@ def run_bench(args):
         loaded = ckpt.get('ema_state_dict') or ckpt['state_dict']
         params, _warnings = load_loose_params(params, loaded, None)
         trained = True
-    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    # Two programs (encode, decode+verify), not one: the fused monolith
+    # trips this rig's libtpu (leaf-while compiler bug, PERFNOTES round 4);
+    # the hand-off buffers stay on device between the two jits.
+    make_rt = model.split_roundtrip
+    rt = make_rt()
     conv_path = 'pallas-windowed' if args.fast_conv else 'xla-per-tap'
-    coder_path = 'pallas-loop' if args.pallas_coder else 'xla-while'
+    coder_path = 'pallas-loop' if pallas_rans.active() else 'xla-while'
 
     model.batch_hint = args.batch
     clouds = []
@@ -198,10 +202,10 @@ def run_bench(args):
             jax.block_until_ready(out0)
             break
         except Exception as e:            # pragma: no cover - rig-dependent
-            if attempt == 0 and args.pallas_coder:
+            if attempt == 0 and pallas_rans.active():
                 print(f'pallas-coder path failed ({type(e).__name__}); '
                       f'retrying with the XLA coder', file=sys.stderr)
-                set_pallas_coder(False)
+                pallas_rans.set_pallas_coder(False)
                 coder_path = 'xla-while (pallas compile fallback)'
             elif args.fast_conv and conv_path.startswith('pallas'):
                 print(f'fast-conv path failed ({type(e).__name__}); '
@@ -210,7 +214,7 @@ def run_bench(args):
                 conv_path = 'xla-per-tap (fast-conv compile fallback)'
             else:
                 raise
-            rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+            rt = make_rt()
     time.sleep(1)
 
     logdir = f'/tmp/bench_trace_{time.time_ns()}'
@@ -230,7 +234,11 @@ def run_bench(args):
         jax.block_until_ready(o)
         float(jnp.asarray(o[2]))          # force real completion via fetch
         total_ms, n_exec = (time.perf_counter() - t0) * 1e3, 1
-    ms = total_ms / n_exec
+        ms = total_ms / n_exec
+    else:
+        # an iteration = 2 XLA modules (split encode + decode programs);
+        # sum over the window divided by iterations = whole-frame time
+        ms = total_ms / args.iters
     n_med = float(np.median(n_points[1:]))
     mpts = n_med / ms / 1000.0
     bpp = float(np.median([b * 8 / n for b, n in zip(nbytes, n_points[1:])]))

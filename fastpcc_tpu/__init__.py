@@ -23,6 +23,20 @@ __version__ = "0.1.0"
 # explicit (float32/bfloat16), so enabling x64 only widens the int path.
 import os as _os  # noqa: E402
 
+# MUST precede any jax/XLA initialization: merges --xla_disable_hlo_passes
+# for libtpu passes that SIGABRT on this rig's compiler (see module docs).
+# Loaded by file path so the utils package __init__ (which imports jax)
+# does not run first.
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    'fastpcc_tpu.utils.xla_workarounds',
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                  'utils', 'xla_workarounds.py'))
+_xla_workarounds = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_xla_workarounds)
+_xla_workarounds.apply()
+
 import jax as _jax  # noqa: E402
 
 _jax.config.update('jax_enable_x64', True)

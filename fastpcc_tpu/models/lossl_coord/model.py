@@ -508,9 +508,25 @@ class Model:
         encoder's word buffer forward from its final back-pointer — zero
         host involvement. Returns (decoded coords, lossless flag, total
         stream bytes). Used for loopback verification and for artifact-free
-        throughput measurement (see PERFNOTES.md)."""
+        throughput measurement (see PERFNOTES.md).
+
+        NOTE: on this rig's Aug-2026 libtpu the encode+decode MONOLITH
+        trips a compiler bug (leaf-shaped while manufactured inside the
+        jellyfish pipeline crashes LayoutAssignment; each half compiles
+        clean — bisected round 4). TPU callers must use the split pair
+        (_traced_encode + _traced_decode_verify, see roundtrip_fns);
+        this single-program form remains for CPU tests."""
         bptr, buf, _coords, enc_bottom_codes, bcount = \
             self._traced_encode(params, codes, count, caps)
+        return self._traced_decode_verify(params, enc_bottom_codes, bcount,
+                                          bptr, buf, codes, count, caps)
+
+    def _traced_decode_verify(self, params, enc_bottom_codes, bcount, bptr,
+                              buf, codes, count, caps=None):
+        """Decode half of the device loopback: reads the encoder's word
+        buffer forward from bptr, reconstructs all scales, and verifies
+        losslessness against the original codes on device. codes/count are
+        only used for the verification flag."""
         bottom_codes = jnp.where(
             jnp.arange(enc_bottom_codes.shape[0]) < bcount,
             enc_bottom_codes, jnp.int64(1) << 62)
@@ -537,16 +553,42 @@ class Model:
         stream_bytes = 2 * (buf.shape[0] - self.cfg.coder_lanes - bptr)
         return coords, ok, stream_bytes
 
+    def roundtrip_fns(self):
+        """Jitted (encode, decode_verify) pair for the device loopback.
+
+        Two separate programs BY DESIGN: besides matching the production
+        compress/decompress split, the fused monolith trips this rig's
+        libtpu (see _traced_roundtrip). The buffer/bptr/bottom-codes hand-
+        off stays on device (jit output -> jit input, no host transfer)."""
+        if not hasattr(self, '_rt_fns'):
+            self._rt_fns = (jax.jit(self._traced_encode, static_argnums=(3,)),
+                            jax.jit(self._traced_decode_verify,
+                                    static_argnums=(7,)))
+        return self._rt_fns
+
+    def split_roundtrip(self):
+        """Fresh (un-cached) roundtrip callable over the split program pair
+        — drop-in for jax.jit(_traced_roundtrip, static_argnums=(3,)) at
+        call sites that must run on the TPU backend (see roundtrip_fns).
+        Fresh jits so trace-time flags (FAST_CONV etc.) take effect."""
+        enc = jax.jit(self._traced_encode, static_argnums=(3,))
+        dec = jax.jit(self._traced_decode_verify, static_argnums=(7,))
+
+        def rt(params, codes, count, caps=None):
+            bptr, buf, _c, eb, bc = enc(params, codes, count, caps)
+            return dec(params, eb, bc, bptr, buf, codes, count, caps)
+        return rt
+
     def device_roundtrip(self, params: Dict, xyz: np.ndarray):
         """Host wrapper for the loopback path -> (recon xyz, lossless, bytes)."""
-        if not hasattr(self, '_mega_roundtrip'):
-            self._mega_roundtrip = jax.jit(self._traced_roundtrip,
-                                           static_argnums=(3,))
+        enc, dec = self.roundtrip_fns()
         offset, codes_np = self._prep_xyz(xyz)
         caps = self._effective_caps(codes_np, len(codes_np))
         codes = jnp.asarray(sp_pad_codes(codes_np, caps[0]))
-        coords, ok, nbytes = self._mega_roundtrip(
-            params, codes, jnp.int32(len(codes_np)), caps)
+        count = jnp.int32(len(codes_np))
+        bptr, buf, _c, eb, bc = enc(params, codes, count, caps)
+        coords, ok, nbytes = dec(params, eb, bc, bptr, buf, codes, count,
+                                 caps)
         return (np.asarray(coords)[:len(codes_np)] + offset[None],
                 bool(ok), int(nbytes))
 

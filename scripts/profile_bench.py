@@ -49,7 +49,7 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip)
+    rt = model.split_roundtrip()
 
     clouds = []
     cap = 0

@@ -19,7 +19,7 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    rt = model.split_roundtrip()
 
     xyz = synthetic_lidar_scan(seed=1, resolution=65536)
     codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
@@ -50,7 +50,7 @@ def breakdown():
     cfg.coord_bits = 16; cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip)
+    rt = model.split_roundtrip()
     xyz = synthetic_lidar_scan(seed=1, resolution=65536)
     codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
     cap = _bucket(len(codes))
@@ -89,7 +89,7 @@ def topops():
     cfg.coord_bits = 16; cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip)
+    rt = model.split_roundtrip()
     xyz = synthetic_lidar_scan(seed=1, resolution=65536)
     codes = np.unique(np_morton_encode(xyz.astype(np.int64)))
     cap = _bucket(len(codes))

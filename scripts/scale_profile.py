@@ -52,7 +52,7 @@ def main():
     model = Model(cfg)
     model.batch_hint = args.batch
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    rt = model.split_roundtrip()
 
     parts = []
     for b in range(args.batch):

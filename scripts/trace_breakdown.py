@@ -91,7 +91,7 @@ def main():
     cfg.check()
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
-    rt = jax.jit(model._traced_roundtrip, static_argnums=(3,))
+    rt = model.split_roundtrip()
 
     xyz = synthetic_lidar_scan(seed=1, resolution=args.resolution)
     codes_np = np.unique(np_morton_encode(xyz.astype(np.int64)))
