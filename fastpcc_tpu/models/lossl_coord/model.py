@@ -315,16 +315,27 @@ class Model:
             p = params[name]
             _, _, bins_i, c2p_i, oct_i, _ = scale(idx)
             if isinstance(mod, OneScalePredictor):
-                dec_feats, logits = mod.apply(
-                    {'params': p}, feats, table(idx),
-                    method=OneScalePredictor.logits)
-                loss = ce_loss(logits, idx)
-                if mod.if_upsample and idx != 1:
-                    feats = mod.apply(
-                        {'params': p}, dec_feats, bins_i, table(idx), c2p_i,
-                        oct_i, method=OneScalePredictor.upsample)
-                else:
-                    feats = dec_feats
+                def osp_step(p, feats, mod=mod, idx=idx, bins_i=bins_i,
+                             c2p_i=c2p_i, oct_i=oct_i):
+                    dec_feats, logits = mod.apply(
+                        {'params': p}, feats, table(idx),
+                        method=OneScalePredictor.logits)
+                    loss = ce_loss(logits, idx)
+                    if mod.if_upsample and idx != 1:
+                        out = mod.apply(
+                            {'params': p}, dec_feats, bins_i, table(idx),
+                            c2p_i, oct_i, method=OneScalePredictor.upsample)
+                    else:
+                        out = dec_feats
+                    return loss, out
+                if self.cfg.train_remat:
+                    # rematerialize each scale block in the backward pass:
+                    # without this, every conv keeps its 27 gathered
+                    # [cap, ch] tap activations alive for the VJP and the
+                    # ch128 step needs ~91GB HBM (round-4 OOM); with it,
+                    # only each scale's (feats in, feats out) survive.
+                    osp_step = jax.checkpoint(osp_step)
+                loss, feats = osp_step(p, feats)
             else:
                 k = mod.pred_steps
                 r = idx + k - 1
@@ -342,20 +353,26 @@ class Model:
                         src_codes, src_count,
                         src_bins.astype(self.compute_dtype), anc_rows,
                         scale(r)[0].shape[0], k - 2)
-                root_out = mod.apply(
-                    {'params': p}, feats, table(r),
-                    scale(r)[2], embed_dense,
-                    method=OneScaleMultiStepPredictor.root_feats)
-                chain_tables = tuple(table(r - i) for i in range(k))
-                select_maps = tuple((scale(r - i)[3], scale(r - i)[4])
-                                    for i in range(k - 1))
-                cat_bins = tuple([scale(r - i)[2] for i in range(1, k - 1)]
-                                 + [None])
-                logits = mod.apply(
-                    {'params': p}, root_out, chain_tables, select_maps,
-                    cat_bins, method=OneScaleMultiStepPredictor.chain_logits)
-                loss = ce_loss(logits, idx)
-                feats = root_out
+
+                def ms_step(p, feats, embed_dense, mod=mod, idx=idx, r=r,
+                            k=k):
+                    root_out = mod.apply(
+                        {'params': p}, feats, table(r),
+                        scale(r)[2], embed_dense,
+                        method=OneScaleMultiStepPredictor.root_feats)
+                    chain_tables = tuple(table(r - i) for i in range(k))
+                    select_maps = tuple((scale(r - i)[3], scale(r - i)[4])
+                                        for i in range(k - 1))
+                    cat_bins = tuple([scale(r - i)[2]
+                                      for i in range(1, k - 1)] + [None])
+                    logits = mod.apply(
+                        {'params': p}, root_out, chain_tables, select_maps,
+                        cat_bins,
+                        method=OneScaleMultiStepPredictor.chain_logits)
+                    return ce_loss(logits, idx), root_out
+                if self.cfg.train_remat:
+                    ms_step = jax.checkpoint(ms_step)
+                loss, feats = ms_step(p, feats, embed_dense)
             loss_dict[f'stride{2 ** idx}_geo_loss'] = loss
         total = sum(loss_dict.values())
         loss_dict['loss'] = total

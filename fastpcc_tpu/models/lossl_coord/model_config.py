@@ -19,6 +19,10 @@ class Config(SimpleConfig):
 
     skip_top_scales_num: int = 0    # test phase rate laddering
     compute_dtype: str = 'bfloat16'
+    train_remat: bool = True        # jax.checkpoint each scale block in
+                                    # train_loss (ch128 at 64k rows needs
+                                    # ~91GB HBM without it; ~FLOP-cheap:
+                                    # one extra forward per scale)
     device_coder: bool = True       # lane-interleaved rANS on device (TPU);
                                     # False = reference-style host coder
     coder_lanes: int = 1024

@@ -26,8 +26,10 @@ whose far taps this kernel dropped — see sparse_conv_apply. The far set
 is pure table arithmetic (far_mask), so encoder and decoder agree.
 
 Shapes: Cin/Cout must be multiples of 128 and N a multiple of 256
-(per-scale capacities are pow-2 >= 128; sparse_conv_apply gates on this
-and falls back to the XLA path otherwise).
+(per-scale capacities are pow-2 >= 128). sparse_conv_apply pads narrower
+channel counts up to 128 lanes before calling in (the MXU is 128 lanes
+wide either way, so the padding is free) and falls back to the XLA path
+for N % 256 != 0 or non-bf16 feats.
 """
 import functools
 
@@ -59,7 +61,6 @@ def _wconv_kernel(tbl_ref, f0_ref, f1_ref, f2_ref, f3_ref, w_ref, out_ref,
     out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
 def windowed_conv(feats: jax.Array, table: jax.Array, weights: jax.Array,
                   interpret: bool = False) -> jax.Array:
     """In-window part of a 3^3 sparse conv.

@@ -457,8 +457,9 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     neighbors, falling back to ``full`` when far rows exceed N//4. Exact
     (every dropped tap is re-added by the correction; branch predicates are
     pure table functions, so encoder and decoder agree) but EVAL-ONLY: the
-    Pallas kernel has no VJP. Requires bf16 feats, N % 256 == 0 and
-    channels % 128 == 0 — anything else silently uses the XLA path.
+    Pallas kernel has no VJP. Requires bf16 feats and N % 256 == 0 —
+    anything else silently uses the XLA path. Channel counts off the
+    128-lane grid (ch32/ch64 trained configs) are zero-padded to it.
     """
     del row_chunk
     if fast is None:
@@ -515,7 +516,7 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
 
         cin_, cout_ = weights.shape[1], weights.shape[2]
         use_fast = (fast and k == 27 and feats.dtype == jnp.bfloat16
-                    and n % 256 == 0 and cin_ % 128 == 0 and cout_ % 128 == 0)
+                    and n % 256 == 0)
         if use_fast:
             from .pallas_conv import far_mask, windowed_conv
             fm = far_mask(table, n)                     # [N, 27] bool
@@ -524,8 +525,19 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
             fcap = max(n // 4, 1)
             interp = _pallas_interpret()
 
+            def _wconv():
+                # pad channels up to the next 128-lane multiple: the MXU
+                # is 128 lanes wide regardless, so ch32/ch64 (the trained
+                # operating points) ride the kernel at zero extra silicon
+                pi, po = (-cin_) % 128, (-cout_) % 128
+                f = jnp.pad(feats, ((0, 0), (0, pi))) if pi else feats
+                w = (jnp.pad(weights, ((0, 0), (0, pi), (0, po)))
+                     if (pi or po) else weights)
+                out = windowed_conv(f, table, w, interpret=interp)
+                return out[:, :cout_] if po else out
+
             def windowed_full():
-                wout = windowed_conv(feats, table, weights, interpret=interp)
+                wout = _wconv()
 
                 def with_far_correction():
                     order = jnp.argsort(

@@ -321,11 +321,38 @@ def test_windowed_pallas_conv_matches_xla_path():
         assert err < 2e-2, (far_frac, err)
 
 
+def test_windowed_conv_narrow_channels_pad_into_kernel():
+    """fast=True at ch32/ch64 (below the 128-lane grid) rides the Pallas
+    kernel via the pad-to-128 shim and matches the XLA path."""
+    rng = np.random.default_rng(13)
+    for cin, cout in ((32, 32), (64, 64), (32, 64)):
+        n = 512
+        feats = jnp.asarray(rng.normal(size=(n, cin)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.05, jnp.bfloat16)
+        table_np = np.full((n, 27), n, np.int64)
+        table_np[:, 13] = np.arange(n)
+        for r in range(n):
+            taps = rng.choice([t for t in range(27) if t != 13], size=8,
+                              replace=False)
+            table_np[r, taps] = np.clip(
+                r + rng.integers(-100, 100, size=8), 0, n - 1)
+        far_rows = rng.choice(n, size=n // 10, replace=False)
+        for r in far_rows:
+            table_np[r, rng.integers(0, 13)] = (r + n // 2) % n
+        table = jnp.asarray(table_np)
+        ref = np.asarray(sparse_conv_apply(feats, table, w, fast=False),
+                         np.float32)
+        out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
+                         np.float32)
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(out - ref).max() / scale < 2e-2, (cin, cout)
+
+
 def test_windowed_conv_unqualified_shapes_fall_back():
     """fast=True with non-qualifying shapes/dtype must silently produce the
     XLA-path result (no Pallas, no shape assert)."""
     rng = np.random.default_rng(12)
-    for n, c, dt in ((384, 128, jnp.bfloat16), (512, 64, jnp.bfloat16),
+    for n, c, dt in ((384, 128, jnp.bfloat16),
                      (512, 128, jnp.float32)):
         feats = jnp.asarray(rng.normal(size=(n, c)), dt)
         w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, dt)
