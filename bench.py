@@ -89,8 +89,15 @@ def main():
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--iters', type=int, default=2)
     ap.add_argument('--resolution', type=int, default=65536)
-    ap.add_argument('--fast-conv', type=int, default=1,
-                    help='enable the Pallas windowed-conv eval path')
+    ap.add_argument('--fast-conv', type=int, default=0,
+                    help='enable the Pallas windowed-conv eval path. '
+                         'Default OFF on this rig: the Aug-2026 libtpu '
+                         'SIGABRTs compiling the kernel (leaf-while bug, '
+                         'PERFNOTES.md round 4) and the crash poisons the '
+                         'process so the in-ladder fallback cannot recover '
+                         '(measured: the all-XLA retry then dies in the '
+                         'same LayoutAssignment CHECK). Opt in for A/B '
+                         'once the toolchain updates.')
     ap.add_argument('--pallas-coder', type=int, default=1,
                     help='enable the Pallas hardware-loop rANS coder '
                          '(falls back to the XLA coder on compile failure)')
