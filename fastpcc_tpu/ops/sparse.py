@@ -21,6 +21,7 @@ TPU-native replacement for MinkowskiEngine / torchsparse coordinate managers
     lookup instead of GPU hash maps), then gather -> MXU GEMM accumulation.
 """
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -540,10 +541,27 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                 wout = _wconv()
 
                 def with_far_correction():
-                    order = jnp.argsort(
-                        jnp.logical_not(rowfar).astype(jnp.int32),
-                        stable=True).astype(jnp.int32)
-                    idx = order[:fcap]
+                    # Compaction of the <=fcap far rows. Two equivalent
+                    # formulations (both list far rows in ascending row
+                    # order): 'argsort' = stable argsort on the far flag;
+                    # 'cumsum' = prefix-sum slot assignment + one scatter.
+                    # The knob exists because this rig's Aug-2026 libtpu
+                    # SIGABRTs compiling the encode program with FAST_CONV
+                    # (leaf-while bug, PERFNOTES.md round 4) and the sort
+                    # expansion is a suspected trigger; scripts/
+                    # fastconv_compile_probe.py bisects via this env var.
+                    mode = os.environ.get('FASTPCC_FAR_COMPACT', 'argsort')
+                    if mode == 'cumsum':
+                        pos = jnp.cumsum(rowfar.astype(jnp.int32)) - 1
+                        slot = jnp.where(rowfar & (pos < fcap), pos, fcap)
+                        idx = jnp.full((fcap + 1,), 0, jnp.int32).at[slot].set(
+                            jnp.arange(n, dtype=jnp.int32),
+                            mode='drop')[:fcap]
+                    else:
+                        order = jnp.argsort(
+                            jnp.logical_not(rowfar).astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
+                        idx = order[:fcap]
                     valid_f = jnp.arange(fcap) < jnp.minimum(nfar, fcap)
                     fm_k = fm[idx] & valid_f[:, None]
                     tbl_k = jnp.where(fm_k, table[idx], n)      # [F, 27]
@@ -560,6 +578,11 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                     return wout.at[idx].add(
                         jnp.where(valid_f[:, None], corr, 0.0), mode='drop')
 
+                if os.environ.get('FASTPCC_FAR_COMPACT') == 'none':
+                    # COMPILE-PROBE ONLY (fastconv_compile_probe.py):
+                    # drops far taps entirely, breaking exactness — never
+                    # set in production.
+                    return wout
                 return jax.lax.cond(nfar == 0, lambda: wout,
                                     with_far_correction)
 

@@ -1,0 +1,82 @@
+"""Bisect the libtpu leaf-while SIGABRT that blocks the FAST_CONV path.
+
+The Aug-2026 libtpu on this rig CHECK-fails (tuple_tree.h "Cannot index
+into a leaf node", inside LayoutAssignment/TuplePointsToAnalysis) while
+compiling the lossl_coord encode program with the Pallas windowed conv
+enabled (PERFNOTES.md round 4). The crash takes the compile-helper
+subprocess down with SIGABRT, and on this rig the FIRST such failure
+poisons the calling process too — so each probe variant runs in its own
+subprocess, AOT compile only (no execution), and this parent just collects
+return codes.
+
+Variants (FASTPCC_FAR_COMPACT, see ops/sparse.py):
+  argsort  shipped far-row compaction (stable argsort -> suspect sort
+           expansion)
+  cumsum   prefix-sum slot + single scatter (no sort)
+  none     far correction elided entirely (NOT exact; isolates whether the
+           trigger is the Pallas kernel itself vs the correction graph)
+
+Usage: python scripts/fastconv_compile_probe.py [--channels 128]
+Prints one line per variant: <mode> rc=<rc> <verdict>.
+"""
+import argparse
+import os
+import subprocess
+import sys
+
+_CHILD = r"""
+import os, sys
+import numpy as np
+import jax, jax.numpy as jnp
+from fastpcc_tpu.ops.sparse import set_fast_conv
+set_fast_conv(True)
+from fastpcc_tpu.models.lossl_coord import Config
+from fastpcc_tpu.models.lossl_coord.model import Model, _bucket, sp_pad_codes
+from fastpcc_tpu.data.datasets.Synthetic import synthetic_lidar_scan
+from fastpcc_tpu.ops.morton import np_morton_encode
+
+ch = int(sys.argv[1])
+cfg = Config(); cfg.channels = ch; cfg.coord_bits = 16; cfg.check()
+model = Model(cfg)
+params = model.init_params(jax.random.PRNGKey(0))
+xyz = synthetic_lidar_scan(seed=1, resolution=65536)
+codes_np = np.unique(np_morton_encode(xyz.astype(np.int64)))
+cap = _bucket(len(codes_np))
+caps = model._scale_caps(codes_np, cap)
+codes = jnp.asarray(sp_pad_codes(codes_np, cap))
+count = jnp.int32(len(codes_np))
+enc = jax.jit(model._traced_encode, static_argnums=(3,))
+enc.lower(params, codes, count, caps).compile()
+print('COMPILED_OK', flush=True)
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--channels', type=int, default=128)
+    ap.add_argument('--modes', type=str, default='none,cumsum,argsort')
+    ap.add_argument('--timeout', type=int, default=900)
+    args = ap.parse_args()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for mode in args.modes.split(','):
+        env = dict(os.environ, FASTPCC_FAR_COMPACT=mode)
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c', _CHILD, str(args.channels)],
+                cwd=root, env=env, timeout=args.timeout,
+                capture_output=True, text=True)
+            ok = r.returncode == 0 and 'COMPILED_OK' in r.stdout
+            tail = '' if ok else ' | ' + ' / '.join(
+                ln for ln in r.stderr.splitlines()[-6:] if ln.strip())[:300]
+            results[mode] = ok
+            print(f'{mode:8s} rc={r.returncode} '
+                  f'{"COMPILES" if ok else "CRASHES"}{tail}', flush=True)
+        except subprocess.TimeoutExpired:
+            results[mode] = False
+            print(f'{mode:8s} rc=TIMEOUT', flush=True)
+    return 0 if any(results.values()) else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

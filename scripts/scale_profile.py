@@ -27,7 +27,7 @@ def main():
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--resolution', type=int, default=65536)
     ap.add_argument('--batch', type=int, default=1)
-    ap.add_argument('--fast-conv', type=int, default=1)
+    ap.add_argument('--fast-conv', type=int, default=0)
     ap.add_argument('--dump-names', type=int, default=0,
                     help='print N sample (name, display) pairs to inspect '
                          'what scope metadata this runtime emits')
