@@ -537,8 +537,31 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                 out = windowed_conv(f, table, w, interpret=interp)
                 return out[:, :cout_] if po else out
 
+            # COND-FREE BY NECESSITY: this rig's Aug-2026 libtpu
+            # manufactures a leaf-shaped while and CHECK-fails in
+            # LayoutAssignment/TuplePointsToAnalysis whenever the Mosaic
+            # custom call's value meets lax.cond — inside a branch OR as a
+            # hoisted operand (bisected with scripts/
+            # fastconv_compile_probe.py: every cond-adjacent variant
+            # SIGABRTs; only the fully cond-free form compiles). So the
+            # fast path runs windowed + far-correction UNCONDITIONALLY.
+            #
+            # Semantics: the correction covers the first fcap (= n/4)
+            # far rows in ascending row order; beyond that, far taps are
+            # dropped. That makes the fast conv a DETERMINISTIC
+            # approximation of the exact conv, not a bit-exact equal —
+            # which is sound for the lossless codec because the conv only
+            # shapes the predicted symbol distributions: encoder and
+            # decoder trace the identical function of the (shared) table,
+            # so their streams agree bit-for-bit and losslessness is
+            # untouched (the device loopback asserts it); the only cost of
+            # a truncated correction is a slightly worse bpp at scales
+            # where nfar > n/4 (2-25% far rows measured at the dense
+            # scales, so truncation rarely bites). Training always uses
+            # the exact XLA path (the kernel has no VJP).
+            wout = _wconv()
+
             def windowed_full():
-                wout = _wconv()
 
                 def with_far_correction():
                     # Compaction of the <=fcap far rows. Two equivalent
@@ -578,23 +601,14 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                     return wout.at[idx].add(
                         jnp.where(valid_f[:, None], corr, 0.0), mode='drop')
 
-                if os.environ.get('FASTPCC_FAR_COMPACT') == 'none':
-                    # COMPILE-PROBE ONLY (fastconv_compile_probe.py):
-                    # drops far taps entirely, breaking exactness — never
-                    # set in production.
-                    return wout
-                return jax.lax.cond(nfar == 0, lambda: wout,
-                                    with_far_correction)
+                return with_far_correction()
 
-            dense_branch = lambda: jax.lax.cond(  # noqa: E731
-                nfar <= fcap, windowed_full, full)
+            acc = windowed_full()
         else:
-            dense_branch = full
-
-        acc = jax.lax.cond(
-            nhit == 0, center_gemm,
-            lambda: jax.lax.cond(nhit <= kcap, sparse_correction,
-                                 dense_branch))
+            acc = jax.lax.cond(
+                nhit == 0, center_gemm,
+                lambda: jax.lax.cond(nhit <= kcap, sparse_correction,
+                                     full))
     out = acc.astype(feats.dtype)
     if bias is not None:
         out = out + bias

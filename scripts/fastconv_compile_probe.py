@@ -47,6 +47,17 @@ codes = jnp.asarray(sp_pad_codes(codes_np, cap))
 count = jnp.int32(len(codes_np))
 enc = jax.jit(model._traced_encode, static_argnums=(3,))
 enc.lower(params, codes, count, caps).compile()
+print('ENCODE_COMPILED_OK', flush=True)
+if os.environ.get('PROBE_DECODE'):
+    # decode too: abstract encode outputs via eval_shape (no execution)
+    bptr_s, buf_s, _c, eb_s, bc_s = jax.eval_shape(
+        lambda p, c, n: model._traced_encode(p, c, n, caps),
+        params, codes, count)
+    dec = jax.jit(model._traced_decode_verify, static_argnums=(7,))
+    dec.lower(params, eb_s, bc_s, bptr_s, buf_s,
+              jax.ShapeDtypeStruct(codes.shape, codes.dtype),
+              jax.ShapeDtypeStruct((), jnp.int32), caps).compile()
+    print('DECODE_COMPILED_OK', flush=True)
 print('COMPILED_OK', flush=True)
 """
 

@@ -292,8 +292,11 @@ def test_sparse_conv_gradients_across_branches():
 
 def test_windowed_pallas_conv_matches_xla_path():
     """fast=True (Pallas windowed kernel + compacted far correction,
-    interpret mode on CPU) == fast=False per-tap XLA path, across far-row
-    regimes: none / some (<= N//4) / too many (falls back to full)."""
+    interpret mode on CPU) == fast=False per-tap XLA path while far rows
+    fit the correction capacity (nfar <= N//4). Beyond that the fast conv
+    TRUNCATES the correction (cond-free by libtpu necessity, see
+    sparse_conv_apply): a deterministic approximation, asserted bit-stable
+    across calls rather than equal to the exact path."""
     rng = np.random.default_rng(11)
     n, cin, cout = 512, 128, 128
     feats = jnp.asarray(rng.normal(size=(n, cin)), jnp.bfloat16)
@@ -316,9 +319,16 @@ def test_windowed_pallas_conv_matches_xla_path():
                          np.float32)
         out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
                          np.float32)
-        scale = np.abs(ref).max() + 1e-9
-        err = np.abs(out - ref).max() / scale
-        assert err < 2e-2, (far_frac, err)
+        if far_frac <= 0.25:
+            scale = np.abs(ref).max() + 1e-9
+            err = np.abs(out - ref).max() / scale
+            assert err < 2e-2, (far_frac, err)
+        else:
+            # truncation regime: codec-sound as long as repeated traces
+            # produce the identical function (encoder == decoder)
+            out2 = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
+                              np.float32)
+            np.testing.assert_array_equal(out, out2)
 
 
 def test_windowed_conv_narrow_channels_pad_into_kernel():
