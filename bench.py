@@ -24,7 +24,7 @@ import time
 # Last number actually measured on hardware (BENCH_r02). Emitted in the
 # structured-failure payload so a tunnel flap never reduces the round's
 # record to a bare traceback (round-3 postmortem: BENCH_r03.json rc=1).
-LAST_GOOD = {'value': 0.1109, 'unit': 'Mpoints/s/chip', 'round': 2}
+LAST_GOOD = {'value': 0.3008, 'unit': 'Mpoints/s/chip', 'round': 5}
 
 
 def probe_backend(deadline_s: float, interval_s: float = 30.0) -> bool:
@@ -89,18 +89,16 @@ def main():
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--iters', type=int, default=2)
     ap.add_argument('--resolution', type=int, default=65536)
-    ap.add_argument('--fast-conv', type=int, default=0,
-                    help='enable the Pallas windowed-conv eval path. '
-                         'Default OFF on this rig: the Aug-2026 libtpu '
-                         'SIGABRTs compiling the kernel (leaf-while bug, '
-                         'PERFNOTES.md round 4) and the crash poisons the '
-                         'process so the in-ladder fallback cannot recover '
-                         '(measured: the all-XLA retry then dies in the '
-                         'same LayoutAssignment CHECK). Opt in for A/B '
-                         'once the toolchain updates.')
-    ap.add_argument('--pallas-coder', type=int, default=1,
-                    help='enable the Pallas hardware-loop rANS coder '
-                         '(falls back to the XLA coder on compile failure)')
+    ap.add_argument('--fast-conv', type=int, default=1,
+                    help='enable the cond-free per-scale conv routing '
+                         '(dense scales -> Pallas windowed kernel, sparse '
+                         'scales -> center+correction; model._scale_plan). '
+                         'Default ON since round 5: the cond-free program '
+                         'compiles and runs lossless on this libtpu '
+                         '(0.3008 vs 0.2351 Mpts/s exact; the round-4 '
+                         'SIGABRT only triggers when a Mosaic value meets '
+                         'lax.cond, which this routing never does). '
+                         '--fast-conv 0 = the exact cond-tree A/B path.')
     ap.add_argument('--batch', type=int, default=1,
                     help='frames packed per program (batched-frame '
                          'throughput mode; batch ids ride the code high '
@@ -147,9 +145,7 @@ def run_bench(args):
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from fastpcc_tpu.ops.sparse import set_fast_conv
-    from fastpcc_tpu.ops import pallas_rans
     set_fast_conv(bool(args.fast_conv))
-    pallas_rans.set_pallas_coder(bool(args.pallas_coder))
     from fastpcc_tpu.models.lossl_coord import Config
     from fastpcc_tpu.models.lossl_coord.model import (Model, _bucket,
                                                       sp_pad_codes)
@@ -176,7 +172,11 @@ def run_bench(args):
     make_rt = model.split_roundtrip
     rt = make_rt()
     conv_path = 'pallas-windowed' if args.fast_conv else 'xla-per-tap'
-    coder_path = 'pallas-loop' if pallas_rans.active() else 'xla-while'
+    # The coder is the XLA interleaved-word coder (ops/ilv_rans.py). A Pallas
+    # hardware-loop coder was considered and REJECTED by measurement: the
+    # round-5 device attribution put all coder whiles at ~15 ms/frame of a
+    # ~430 ms frame (scripts/scale_profile.py) — not worth a kernel.
+    coder_path = 'xla-while'
 
     model.batch_hint = args.batch
     clouds = []
@@ -191,11 +191,21 @@ def run_bench(args):
         codes = np.sort(np.concatenate(parts))
         cap = max(cap, _bucket(len(codes)))
         clouds.append(codes)
-    # shared static per-scale caps across the bench clouds (compile once)
-    caps_list = [model._scale_caps(c, cap) for c in clouds]
-    caps = tuple(max(cs[s] for cs in caps_list)
-                 for s in range(len(caps_list[0])))
-    dev = [(jnp.asarray(sp_pad_codes(c, cap)), jnp.int32(len(c)), caps)
+    # shared static per-scale caps across the bench clouds (compile once);
+    # the density mask is OR-ed the same way (dense-if-ever-dense) and
+    # routes dense scales' convs to the windowed kernel when fast-conv is on
+    plans = [model._scale_plan(c, cap) for c in clouds]
+    caps = tuple(max(p[0][s] for p in plans)
+                 for s in range(len(plans[0][0])))
+    fast_mask = 0
+    for p in plans:
+        fast_mask |= p[1]
+    if not args.fast_conv:
+        fast_mask = 0
+    else:
+        conv_path = f'pallas-windowed(scales=0x{fast_mask:x})'
+    dev = [(jnp.asarray(sp_pad_codes(c, cap)), jnp.int32(len(c)), caps,
+            fast_mask)
            for c in clouds]
     n_points = [len(c) for c in clouds]
 
@@ -209,15 +219,12 @@ def run_bench(args):
             jax.block_until_ready(out0)
             break
         except Exception as e:            # pragma: no cover - rig-dependent
-            if attempt == 0 and pallas_rans.active():
-                print(f'pallas-coder path failed ({type(e).__name__}); '
-                      f'retrying with the XLA coder', file=sys.stderr)
-                pallas_rans.set_pallas_coder(False)
-                coder_path = 'xla-while (pallas compile fallback)'
-            elif args.fast_conv and conv_path.startswith('pallas'):
+            if args.fast_conv and conv_path.startswith('pallas'):
                 print(f'fast-conv path failed ({type(e).__name__}); '
                       f'falling back to the XLA conv path', file=sys.stderr)
                 set_fast_conv(False)
+                fast_mask = 0
+                dev = [d[:3] + (0,) for d in dev]
                 conv_path = 'xla-per-tap (fast-conv compile fallback)'
             else:
                 raise

@@ -16,7 +16,11 @@ Bitstream layout (little-endian), mirroring the reference with additions:
                                         128-bounded side CDF — the reference
                                         asserts k-2 <= 128 at model.py:486;
                                         here any k is legal)
-  fmt 1:  4B blob length + interleaved-word rANS blob (all scales' octants)
+  fmt 1:  1B caps count + 3B per-scale capacities (decoder compiles the
+          same shapes) + 4B conv-routing plan mask (see Model._scale_plan:
+          fast-program flag + per-scale density + per-scale table
+          triviality; the decoder must route identically) + 4B blob length
+          + interleaved-word rANS blob (all scales' octants)
   host rANS stream: bottom-coord CDF rows + values (+ fmt 0: all octants)
 """
 import io
@@ -32,7 +36,7 @@ import jax.numpy as jnp
 
 from ...ops import sparse as sp
 from ...ops import ilv_rans as ir
-from ...ops.morton import masked_decode, np_morton_encode
+from ...ops.morton import masked_decode, np_morton_decode, np_morton_encode
 from ...runtime import RansEncoder, RansDecoder
 from .network import (OneScalePredictor, OneScaleMultiStepPredictor,
                       make_blocks)
@@ -40,6 +44,11 @@ from .model_config import Config
 
 LOG2_E = math.log2(math.e)
 NUM_CLASSES = 255
+
+_NBR_OFFSETS_26 = [np.array(d, np.int64)
+                   for d in ((dx, dy, dz) for dx in (-1, 0, 1)
+                             for dy in (-1, 0, 1) for dz in (-1, 0, 1))
+                   if d != (0, 0, 0)]
 
 
 def _bucket(n: int, minimum: int = 1024) -> int:
@@ -66,35 +75,47 @@ def fetch_chunked(arr: jax.Array, n_rows: int) -> np.ndarray:
 # blocks with the same structure)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _osp_logits(channels, if_upsample, allow_single_ch, params, feats, table):
+# Each wrapper takes the resolved fast-conv flag as a STATIC arg (read via
+# sp.current_fast() at call time): nested-jit trace caches are keyed only by
+# static args + shapes, so the per-scale fast_conv_scope must be re-entered
+# INSIDE the wrapper to reach the convs it traces.
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _osp_logits(channels, if_upsample, allow_single_ch, fast, params, feats,
+                table):
     mod = OneScalePredictor(channels, if_upsample, allow_single_ch)
-    return mod.apply({'params': params}, feats, table,
-                     method=OneScalePredictor.logits)
+    with sp.fast_conv_scope(fast):
+        return mod.apply({'params': params}, feats, table,
+                         method=OneScalePredictor.logits)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _osp_upsample(channels, if_upsample, allow_single_ch, params, dec_feats,
-                  bins, table, p_of_c, oct_of_c):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _osp_upsample(channels, if_upsample, allow_single_ch, fast, params,
+                  dec_feats, bins, table, p_of_c, oct_of_c):
     mod = OneScalePredictor(channels, if_upsample, allow_single_ch)
-    return mod.apply({'params': params}, dec_feats, bins, table, p_of_c,
-                     oct_of_c, method=OneScalePredictor.upsample)
+    with sp.fast_conv_scope(fast):
+        return mod.apply({'params': params}, dec_feats, bins, table, p_of_c,
+                         oct_of_c, method=OneScalePredictor.upsample)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _ms_root(channels, pred_steps, fea_prop, params, feats, root_table,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ms_root(channels, pred_steps, fea_prop, fast, params, feats, root_table,
              bins_root, embed_dense):
     mod = OneScaleMultiStepPredictor(channels, pred_steps, fea_prop)
-    return mod.apply({'params': params}, feats, root_table, bins_root,
-                     embed_dense, method=OneScaleMultiStepPredictor.root_feats)
+    with sp.fast_conv_scope(fast):
+        return mod.apply({'params': params}, feats, root_table, bins_root,
+                         embed_dense,
+                         method=OneScaleMultiStepPredictor.root_feats)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _ms_chain(channels, pred_steps, fea_prop, params, root_out, tables,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ms_chain(channels, pred_steps, fea_prop, fast, params, root_out, tables,
               select_maps, cat_bins):
     mod = OneScaleMultiStepPredictor(channels, pred_steps, fea_prop)
-    return mod.apply({'params': params}, root_out, tables, select_maps,
-                     cat_bins, method=OneScaleMultiStepPredictor.chain_logits)
+    with sp.fast_conv_scope(fast):
+        return mod.apply({'params': params}, root_out, tables, select_maps,
+                         cat_bins,
+                         method=OneScaleMultiStepPredictor.chain_logits)
 
 
 @jax.jit
@@ -200,11 +221,12 @@ class Model:
         # degrades to ~2s per *executed program* after the first host
         # transfer, so encode and decode each trace into ONE program.
         self._mega_encode = jax.jit(self._traced_encode,
-                                    static_argnums=(3,))
+                                    static_argnums=(3, 4))
         self._mega_decode = jax.jit(self._traced_decode,
-                                    static_argnums=(4,))
+                                    static_argnums=(4, 5))
         self._dec_caps = None
         self._sticky_caps = None
+        self._sticky_mask = 0
         # Batched-frame throughput mode: number of frames packed into one
         # program via the code high bits (bench.py --batch). Read at TRACE
         # time (sizes the coarsest-scale table search bound), so set it
@@ -428,10 +450,12 @@ class Model:
         plus coder overhead."""
         return ir.word_capacity_for(2 * cap, self.cfg.coder_lanes)
 
-    def _traced_encode(self, params, codes, count, caps=None):
+    def _traced_encode(self, params, codes, count, caps=None, fast_mask=0):
         """Whole encode as one traceable function: pyramid, all per-scale
         NNs + CDFs + pair gathers, and the full interleaved rANS encode.
-        caps: optional static per-scale capacities (see _scale_caps)."""
+        caps: optional static per-scale capacities; fast_mask: static
+        per-scale density bits routing convs to the windowed kernel (see
+        _scale_plan)."""
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
@@ -444,12 +468,13 @@ class Model:
                 states[s] = _ScaleState(pc, pcnt, None, bins)
                 states[s - 1].c2p = c2p
                 states[s - 1].octant = octant
-            self._thread_tables(states, top, self.batch_hint)
+            self._thread_tables(states, top, self.batch_hint, fast_mask)
 
             def symbols_of(s):
                 return pyramid[s - 1][5]
 
-            collected = self._run_scales(params, states, top, symbols_of)
+            collected = self._run_scales(params, states, top, symbols_of,
+                                         fast_mask=fast_mask)
             rs, bptr, buf = ir.init_encoder(self.cfg.coder_lanes,
                                             self._word_capacity(cap))
             for starts, freqs, cnt in collected:
@@ -465,22 +490,94 @@ class Model:
             self.profile = prof
 
     def _scale_caps(self, codes_np: np.ndarray, cap: int):
-        """Static per-scale row capacities from the host-side counts
-        (power-of-2 buckets, non-increasing, floor 128). Transmitted in the
-        device-coder header so the decoder compiles the same shapes. With a
-        flat capacity every coarse scale paid full-resolution cost although
-        LiDAR counts collapse 8x/scale above ~scale 7."""
+        """Static per-scale row capacities (see _scale_plan)."""
+        return self._scale_plan(codes_np, cap)[0]
+
+    _DENSE_SAMPLE = 2048      # rows sampled per scale for the density probe
+    _DENSE_THRESHOLD = 0.3    # hit-rate above which a scale counts as dense
+
+    def _scale_plan(self, codes_np: np.ndarray, cap: int):
+        """(caps, plan_mask): static per-scale capacities + conv routing.
+
+        caps: power-of-2 buckets of the per-scale counts, non-increasing,
+        floor 128 — transmitted in the device-coder header so the decoder
+        compiles the same shapes. With a flat capacity every coarse scale
+        paid full-resolution cost although LiDAR counts collapse 8x/scale
+        above ~scale 7.
+
+        plan_mask packing (one static int, transmitted in the header —
+        encoder and decoder MUST route identically because the fast paths
+        are deterministic approximations, not bit-exact equals):
+          bit 0       fast program (0 = wholly exact legacy program)
+          bit s       (1 <= s <= 14) scale s is DENSE: sampled 3^3 neighbor
+                      hit-rate >= _DENSE_THRESHOLD -> its convs take the
+                      Pallas windowed kernel; sparse scales take the
+                      cond-free center+correction path (bench cloud at
+                      65536 resolution: scales 0-4 hit-rate <= 0.001,
+                      scale 5 0.72, 6+ ~1.0)
+          bit 16+s    the neighbor table at scale s is TRIVIAL
+                      (center-only): exact count equality with scale s+1
+                      plus a zero-hit sample at s+1 -> built as the
+                      identity instead of the gather/one-hot build, with
+                      no lax.cond (a cond staging a [131k, 27] operand
+                      costs ~ms on this rig even taking the cheap branch).
+        Multi-step chain blocks use the finest scale's density bit for all
+        their levels (on LiDAR those scales are uniformly sparse)."""
         top = self.max_down - self.cfg.skip_top_scales_num
         caps = [cap]
+        bits = self.bits
+        probe = sp.FAST_CONV   # the mask is only consumed then
+        counts = []
+        dense = []
+        hit0 = []
         c = codes_np
-        for s in range(1, top + 1):
-            c = np.unique(c >> 3)
-            caps.append(min(caps[-1],
-                            max(1 << int(math.ceil(math.log2(max(len(c), 1)))),
-                                128)))
-        return tuple(caps)
+        for s in range(0, top + 1):
+            if s > 0:
+                # parent codes: the batch part (high bits) shifts down with
+                # the morton part, preserving distinctness (counts only)
+                c = np.unique(c >> 3)
+                caps.append(min(
+                    caps[-1],
+                    max(1 << int(math.ceil(math.log2(max(len(c), 1)))), 128)))
+            counts.append(len(c))
+            if len(c) == 0 or not probe:
+                dense.append(False)
+                hit0.append(len(c) == 0)
+                continue
+            side = bits - s
+            mmask = (np.int64(1) << (3 * side)) - 1
+            k = min(len(c), self._DENSE_SAMPLE)
+            sel = c[:: max(len(c) // k, 1)][:k]
+            xyz = np_morton_decode(sel & mmask)
+            bpart = sel & ~mmask
+            hit = np.zeros(len(sel), bool)
+            for d in _NBR_OFFSETS_26:
+                nb = xyz + d
+                ok = ((nb >= 0) & (nb < (1 << side))).all(-1)
+                ncode = bpart | np_morton_encode(nb)
+                pos = np.searchsorted(c, ncode)
+                pos = np.minimum(pos, len(c) - 1)
+                hit |= ok & (c[pos] == ncode)
+                if hit.mean() >= self._DENSE_THRESHOLD:
+                    break
+            dense.append(bool(hit.mean() >= self._DENSE_THRESHOLD))
+            hit0.append(bool(~hit.any()))
+        mask = 0
+        if probe and top <= 14:   # mask packing bound; top > 14 -> exact
+            mask |= 1
+            for s in range(1, top + 1):
+                if dense[s]:
+                    mask |= 1 << s
+            # table at scale s (1..top-1) is derived from scale s+1's
+            for s in range(1, top):
+                if counts[s] == counts[s + 1] and hit0[s + 1]:
+                    mask |= 1 << (16 + s)
+        return tuple(caps), mask
 
     def _effective_caps(self, codes_np: np.ndarray, n: int):
+        return self._effective_plan(codes_np, n)[0]
+
+    def _effective_plan(self, codes_np: np.ndarray, n: int):
         """Dataset-stable static shapes: the caps used for a cloud are the
         running elementwise max over every cloud this Model instance has
         compressed (elementwise max of non-increasing pow-2 sequences stays
@@ -488,20 +585,31 @@ class Model:
         mega encode/decode programs for sample 1 and reuses them for every
         later cloud that fits — per-cloud caps recompiled per sample
         (round-2 finding). Capacities only pad rows (symbols are count-
-        masked), so the bitstream is unchanged."""
-        cloud = self._scale_caps(codes_np, _bucket(n))
+        masked), so the bitstream is unchanged.
+
+        The per-scale density mask is sticky the same way (OR of bits:
+        dense-if-ever-dense), so a homogeneous pass compiles once. The
+        effective mask is 0 unless FAST_CONV is enabled — the mask written
+        to each header records what the encoder actually did."""
+        cloud, mask = self._scale_plan(codes_np, _bucket(n))
         if (self._sticky_caps is None
                 or len(self._sticky_caps) != len(cloud)):
             self._sticky_caps = cloud
+            self._sticky_mask = mask
         else:
             self._sticky_caps = tuple(
                 max(a, b) for a, b in zip(self._sticky_caps, cloud))
-        return self._sticky_caps
+            self._sticky_mask |= mask
+        eff_mask = self._sticky_mask if sp.FAST_CONV else 0
+        return self._sticky_caps, eff_mask
 
     def _traced_decode(self, params, bottom_codes, bottom_count, stream,
-                       caps=None):
+                       caps=None, fast_mask=0):
         """Whole decode as one traceable function: all scales' NNs, rANS
-        symbol decoding, child expansion, and the final coordinate decode."""
+        symbol decoding, child expansion, and the final coordinate decode.
+        fast_mask comes from the bitstream header: the decoder must route
+        each scale's convs exactly as the encoder did (the fast conv is a
+        deterministic approximation, not a bit-exact equal)."""
         prof, self.profile = self.profile, False
         try:
             top = self.max_down - self.cfg.skip_top_scales_num
@@ -514,13 +622,13 @@ class Model:
             states[top].table = self._top_table(bottom_codes, bottom_count,
                                                 top, self.batch_hint)
             self._run_scales(params, states, top, symbols_of=None,
-                             decode_scale=True)
+                             decode_scale=True, fast_mask=fast_mask)
             return masked_decode(states[0].codes, self.bits)
         finally:
             self.profile = prof
             self._dec_caps = None
 
-    def _traced_roundtrip(self, params, codes, count, caps=None):
+    def _traced_roundtrip(self, params, codes, count, caps=None, fast_mask=0):
         """Encode then decode entirely on device: the decoder reads the
         encoder's word buffer forward from its final back-pointer — zero
         host involvement. Returns (decoded coords, lossless flag, total
@@ -534,12 +642,13 @@ class Model:
         (_traced_encode + _traced_decode_verify, see roundtrip_fns);
         this single-program form remains for CPU tests."""
         bptr, buf, _coords, enc_bottom_codes, bcount = \
-            self._traced_encode(params, codes, count, caps)
+            self._traced_encode(params, codes, count, caps, fast_mask)
         return self._traced_decode_verify(params, enc_bottom_codes, bcount,
-                                          bptr, buf, codes, count, caps)
+                                          bptr, buf, codes, count, caps,
+                                          fast_mask)
 
     def _traced_decode_verify(self, params, enc_bottom_codes, bcount, bptr,
-                              buf, codes, count, caps=None):
+                              buf, codes, count, caps=None, fast_mask=0):
         """Decode half of the device loopback: reads the encoder's word
         buffer forward from bptr, reconstructs all scales, and verifies
         losslessness against the original codes on device. codes/count are
@@ -558,7 +667,7 @@ class Model:
             states[top].table = self._top_table(bottom_codes, bcount, top,
                                                 self.batch_hint)
             self._run_scales(params, states, top, symbols_of=None,
-                             decode_scale=True)
+                             decode_scale=True, fast_mask=fast_mask)
         finally:
             self.profile = prof
             self._use_device_decode = self.cfg.device_coder
@@ -578,9 +687,10 @@ class Model:
         libtpu (see _traced_roundtrip). The buffer/bptr/bottom-codes hand-
         off stays on device (jit output -> jit input, no host transfer)."""
         if not hasattr(self, '_rt_fns'):
-            self._rt_fns = (jax.jit(self._traced_encode, static_argnums=(3,)),
+            self._rt_fns = (jax.jit(self._traced_encode,
+                                    static_argnums=(3, 4)),
                             jax.jit(self._traced_decode_verify,
-                                    static_argnums=(7,)))
+                                    static_argnums=(7, 8)))
         return self._rt_fns
 
     def split_roundtrip(self):
@@ -588,24 +698,25 @@ class Model:
         — drop-in for jax.jit(_traced_roundtrip, static_argnums=(3,)) at
         call sites that must run on the TPU backend (see roundtrip_fns).
         Fresh jits so trace-time flags (FAST_CONV etc.) take effect."""
-        enc = jax.jit(self._traced_encode, static_argnums=(3,))
-        dec = jax.jit(self._traced_decode_verify, static_argnums=(7,))
+        enc = jax.jit(self._traced_encode, static_argnums=(3, 4))
+        dec = jax.jit(self._traced_decode_verify, static_argnums=(7, 8))
 
-        def rt(params, codes, count, caps=None):
-            bptr, buf, _c, eb, bc = enc(params, codes, count, caps)
-            return dec(params, eb, bc, bptr, buf, codes, count, caps)
+        def rt(params, codes, count, caps=None, fast_mask=0):
+            bptr, buf, _c, eb, bc = enc(params, codes, count, caps, fast_mask)
+            return dec(params, eb, bc, bptr, buf, codes, count, caps,
+                       fast_mask)
         return rt
 
     def device_roundtrip(self, params: Dict, xyz: np.ndarray):
         """Host wrapper for the loopback path -> (recon xyz, lossless, bytes)."""
         enc, dec = self.roundtrip_fns()
         offset, codes_np = self._prep_xyz(xyz)
-        caps = self._effective_caps(codes_np, len(codes_np))
+        caps, fast_mask = self._effective_plan(codes_np, len(codes_np))
         codes = jnp.asarray(sp_pad_codes(codes_np, caps[0]))
         count = jnp.int32(len(codes_np))
-        bptr, buf, _c, eb, bc = enc(params, codes, count, caps)
+        bptr, buf, _c, eb, bc = enc(params, codes, count, caps, fast_mask)
         coords, ok, nbytes = dec(params, eb, bc, bptr, buf, codes, count,
-                                 caps)
+                                 caps, fast_mask)
         return (np.asarray(coords)[:len(codes_np)] + offset[None],
                 bool(ok), int(nbytes))
 
@@ -646,12 +757,12 @@ class Model:
         cap = _bucket(n)
         top = self.max_down - self.cfg.skip_top_scales_num
         if self.cfg.device_coder:
-            caps = self._effective_caps(codes_np, n)
+            caps, fast_mask = self._effective_plan(codes_np, n)
             cap = caps[0]
             codes = jnp.asarray(sp_pad_codes(codes_np, cap))
             t0 = time.perf_counter()
             bptr, buf, bottom_coords_dev, _bcodes, bcount = self._mega_encode(
-                params, codes, jnp.int32(n), caps)
+                params, codes, jnp.int32(n), caps, fast_mask)
             if self.profile:
                 jax.block_until_ready(buf)
             self._prof('mega_encode', t0)
@@ -673,6 +784,10 @@ class Model:
                 bs.write(bytes([len(caps)]))
                 for c in caps:
                     bs.write(int(c).to_bytes(3, 'little'))
+                # per-scale conv-routing plan: the decoder must route each
+                # scale's convs exactly as the encoder did (fast paths are
+                # deterministic approximations) — see _scale_plan packing
+                bs.write(int(fast_mask).to_bytes(4, 'little'))
                 bs.write(len(blob).to_bytes(4, 'little'))
                 bs.write(blob)
                 bs.write(enc.flush())
@@ -722,23 +837,24 @@ class Model:
 
     def _nn_logits(self, mod, p, feats, table):
         return _osp_logits(self.cfg.channels, mod.if_upsample,
-                           mod.allow_single_ch, p, feats, table)
+                           mod.allow_single_ch, sp.current_fast(), p, feats,
+                           table)
 
     def _nn_upsample(self, mod, p, dec_feats, bins, table, c2p, octant):
         return _osp_upsample(self.cfg.channels, mod.if_upsample,
-                             mod.allow_single_ch, p, dec_feats, bins, table,
-                             c2p, octant)
+                             mod.allow_single_ch, sp.current_fast(), p,
+                             dec_feats, bins, table, c2p, octant)
 
     def _nn_ms_root(self, mod, p, feats, root_table, bins_root, embed_dense):
         return _ms_root(self.cfg.channels, mod.pred_steps,
-                        self.cfg.feature_propagation, p, feats, root_table,
-                        bins_root, embed_dense)
+                        self.cfg.feature_propagation, sp.current_fast(), p,
+                        feats, root_table, bins_root, embed_dense)
 
     def _nn_ms_chain(self, mod, p, root_out, chain_tables, select_maps,
                      cat_bins):
         return _ms_chain(self.cfg.channels, mod.pred_steps,
-                         self.cfg.feature_propagation, p, root_out,
-                         chain_tables, select_maps, cat_bins)
+                         self.cfg.feature_propagation, sp.current_fast(), p,
+                         root_out, chain_tables, select_maps, cat_bins)
 
     def _nn_cdf(self, logits):
         # pallas kernel on TPU (2.7x: one VMEM pass, no [N, 255] f32 HBM
@@ -775,7 +891,15 @@ class Model:
         return jnp.concatenate(
             [rows, jnp.full((cap - tc, 27), cap, jnp.int32)], axis=0)
 
-    def _thread_tables(self, states, top, batch_hint: int = 1):
+    @staticmethod
+    def _static_trivial(fast_mask: int, s: int):
+        """Planned triviality of the table at scale s (None = runtime cond,
+        the exact legacy behavior when the fast program is off)."""
+        if not (fast_mask & 1):
+            return None
+        return bool((fast_mask >> (16 + s)) & 1)
+
+    def _thread_tables(self, states, top, batch_hint: int = 1, fast_mask=0):
         """Propagate neighbor tables top-down through the scale states
         (one small searchsorted at the coarsest scale, pure gathers below)."""
         states[top].table = self._top_table(
@@ -783,7 +907,8 @@ class Model:
         for s in range(top - 1, 0, -1):
             states[s].table = sp.child_table_from_parent(
                 states[s + 1].table, states[s].c2p, states[s].octant,
-                states[s].count, states[s + 1].count)
+                states[s].count, states[s + 1].count,
+                static_trivial=self._static_trivial(fast_mask, s))
 
     def _table(self, state: _ScaleState, s: int):
         if state.table is None:
@@ -796,25 +921,38 @@ class Model:
         return state.table
 
     def _run_scales(self, params, states, top, symbols_of,
-                    decode_scale=None):
+                    decode_scale=None, fast_mask=0):
         """Shared encode/decode scale loop. With ``symbols_of`` (encode), the
         true symbols are looked up and (start, freq) pairs are collected in
         scale order 1..top (finest first). With ``decode_scale`` (decode),
-        symbols come from the rANS stream and child scales are expanded."""
+        symbols come from the rANS stream and child scales are expanded.
+
+        fast_mask is the _scale_plan packed routing (bit 0 = fast program;
+        bit idx = scale idx dense -> windowed kernel, else the cond-free
+        center+correction path; bits 16+ = table triviality). The mask is
+        authoritative — mask 0 means the exact legacy program regardless of
+        the FAST_CONV global, so a stream decodes with the exact routing
+        its encoder used."""
         ch = self.cfg.channels
         cap = states[top].codes.shape[0]
         feats = self._init_feats(cap)
         collected = []
+        fast_on = bool(fast_mask & 1)
         for idx in range(top, 0, -1):
+            if fast_on:
+                scope = 'windowed' if (fast_mask >> idx) & 1 else 'corr'
+            else:
+                scope = False
             # named scope -> XLA op metadata -> per-scale attribution in
             # device traces (scripts/scale_profile.py)
-            with jax.named_scope(f'scale{idx}'):
+            with jax.named_scope(f'scale{idx}'), sp.fast_conv_scope(scope):
                 feats = self._one_scale(params, states, top, symbols_of,
-                                        decode_scale, collected, idx, feats)
+                                        decode_scale, collected, idx, feats,
+                                        fast_mask)
         return collected
 
     def _one_scale(self, params, states, top, symbols_of, decode_scale,
-                   collected, idx, feats):
+                   collected, idx, feats, fast_mask=0):
         if not self.cfg.feature_propagation:
             # fresh ones sized to THIS scale's capacity (caps grow toward
             # fine scales at decode time)
@@ -830,7 +968,7 @@ class Model:
                 jax.block_until_ready(logits)
             self._prof('nn_logits', t0)
             bins = self._code_scale(idx, logits, states, symbols_of,
-                                    decode_scale, collected)
+                                    decode_scale, collected, fast_mask)
             t0 = time.perf_counter()
             if mod.if_upsample and idx != 1:
                 feats = self._nn_upsample(
@@ -869,7 +1007,7 @@ class Model:
             logits = self._nn_ms_chain(mod, p, root_out, chain_tables,
                                        select_maps, cat_bins)
             self._code_scale(idx, logits, states, symbols_of,
-                             decode_scale, collected)
+                             decode_scale, collected, fast_mask)
             feats = root_out
         return feats
 
@@ -879,7 +1017,7 @@ class Model:
                                       + time.perf_counter() - t0)
 
     def _code_scale(self, idx, logits, states, symbols_of, decode_scale,
-                    collected):
+                    collected, fast_mask=0):
         """Turn one scale's logits into coded symbols (encode) or decoded
         bins + expanded child scale (decode). Returns the bins at scale idx."""
         st = states[idx]
@@ -940,7 +1078,8 @@ class Model:
         if idx > 1:   # scale-0 tables are never used
             child.table = sp.child_table_from_parent(
                 self._table(st, idx), p_of_c, oct_of_c, child_count,
-                st.count)
+                st.count,
+                static_trivial=self._static_trivial(fast_mask, idx - 1))
         states[idx - 1] = child
         return bins_f
 
@@ -954,10 +1093,12 @@ class Model:
             org_n = int.from_bytes(bs.read(4), 'little')
             k = int.from_bytes(bs.read(4), 'little')
             caps = None
+            fast_mask = 0
             if fmt == 1:
                 n_caps = bs.read(1)[0]
                 caps = tuple(int.from_bytes(bs.read(3), 'little')
                              for _ in range(n_caps))
+                fast_mask = int.from_bytes(bs.read(4), 'little')
                 blob_len = int.from_bytes(bs.read(4), 'little')
                 blob = bs.read(blob_len)
             else:
@@ -978,7 +1119,7 @@ class Model:
             t0 = time.perf_counter()
             coords_dev = self._mega_decode(
                 params, jnp.asarray(sp_pad_codes(codes_np, caps[top])),
-                jnp.int32(bottom_n), words, caps)
+                jnp.int32(bottom_n), words, caps, fast_mask)
             xyz = np.asarray(coords_dev)[:org_n]
             self._prof('mega_decode', t0)
             return xyz + offset[None]

@@ -83,6 +83,22 @@ def sort_points_by_code(xyz: jax.Array, bits: int = MAX_BITS):
     return codes[perm], perm
 
 
+def np_morton_decode(code) -> 'np.ndarray':
+    """Host-side inverse of np_morton_encode -> [..., 3] int64 coords."""
+    import numpy as np
+    c = np.asarray(code, np.int64)
+    cols = []
+    for shift in (2, 1, 0):
+        a = (c >> shift) & 0x1249249249249249
+        a = (a | (a >> 2)) & 0x10C30C30C30C30C3
+        a = (a | (a >> 4)) & 0x100F00F00F00F00F
+        a = (a | (a >> 8)) & 0x1F0000FF0000FF
+        a = (a | (a >> 16)) & 0x1F00000000FFFF
+        a = (a | (a >> 32)) & 0x1FFFFF
+        cols.append(a)
+    return np.stack(cols, axis=-1)
+
+
 def np_morton_encode(xyz) -> 'np.ndarray':
     """Host-side numpy variant (dataset prep / collate; same bit layout)."""
     import numpy as np

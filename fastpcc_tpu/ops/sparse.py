@@ -20,6 +20,7 @@ TPU-native replacement for MinkowskiEngine / torchsparse coordinate managers
     by vectorized binary search over the sorted codes (Minuet-style sorted
     lookup instead of GPU hash maps), then gather -> MXU GEMM accumulation.
 """
+import contextlib
 import functools
 import os
 from typing import Optional, Tuple
@@ -277,10 +278,11 @@ def _octant_block_luts():
     return block_off, idx64
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=('static_trivial',))
 def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
                             octant: jax.Array, child_count: jax.Array,
-                            parent_count: Optional[jax.Array] = None):
+                            parent_count: Optional[jax.Array] = None,
+                            static_trivial: Optional[bool] = None):
     """Neighbor table at a child scale from the parent scale's table.
 
     parent_table:    [M, 27] (misses = M)
@@ -303,7 +305,17 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
     every parent has exactly one child (counts equal) and the parent table
     has no non-center hits, no child can have a sibling or cousin neighbor,
     so the table is the center-only identity — the common case for every
-    fine scale of sparse LiDAR (measured ~0 hit-rate below stride 64)."""
+    fine scale of sparse LiDAR (measured ~0 hit-rate below stride 64).
+
+    ``static_trivial`` makes that choice at TRACE time instead (True ->
+    center-only identity, False -> full build): on this rig a lax.cond
+    staging a [131k, 27] table operand costs milliseconds even when the
+    trivial branch is taken (round-5 attribution), so the flagship's fast
+    mode plans triviality host-side per scale (exact per-scale counts + a
+    sampled zero-hit probe, transmitted in the header so encoder and
+    decoder agree; a sampling miss only drops a handful of neighbor taps
+    from the prediction — deterministic approximation, losslessness
+    untouched)."""
     import numpy as np
     m = parent_table.shape[0]
     n = child_to_parent.shape[0]
@@ -350,13 +362,15 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
         rows = rows_f.astype(jnp.int32)
         return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
 
-    if parent_count is None:
-        return full()
-
     def trivial():
         r = jnp.full((n, 27), n, jnp.int32)
         return r.at[:, center].set(
             jnp.where(valid, jnp.arange(n, dtype=jnp.int32), n))
+
+    if static_trivial is not None:
+        return trivial() if static_trivial else full()
+    if parent_count is None:
+        return full()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, parent_table.shape, 1)
     parent_has_nbrs = jnp.any((parent_table < m) & (lane != center))
@@ -399,10 +413,48 @@ def gather_padded(feats: jax.Array, idx: jax.Array) -> jax.Array:
 # tests pass the explicit ``fast`` argument instead.
 FAST_CONV = False
 
+# Scoped per-scale override of FAST_CONV (None -> fall back to the global).
+# The flagship's scale loop wraps each scale's block in fast_conv_scope so
+# that the fast/exact choice is STATIC PER SCALE: dense scales (hit-rate
+# high, measured host-side at encode time and transmitted in the header)
+# take the cond-free windowed kernel, sparse full-resolution scales keep
+# the nhit cond tree whose pointwise branch is ~200x cheaper there (round-4
+# verdict: the unconditional windowed+correction path at hit-rate <= 0.002
+# scales replaced a 0.05 ms branch with a ~6 ms one).
+_FAST_SCOPE = None   # None | False | True | 'windowed' | 'corr'
+
 
 def set_fast_conv(enabled: bool) -> None:
     global FAST_CONV
     FAST_CONV = bool(enabled)
+
+
+def current_fast() -> bool:
+    """Resolved fast-conv flag at trace time (scope overrides the global).
+
+    Callers that re-dispatch into their own jitted step functions (the
+    flagship's _osp_* / _ms_* wrappers) must read this and pass it as a
+    STATIC argument — a nested jit's trace cache is keyed only by its
+    static args and shapes, so a scope change would otherwise silently
+    reuse a stale trace."""
+    return FAST_CONV if _FAST_SCOPE is None else _FAST_SCOPE
+
+
+@contextlib.contextmanager
+def fast_conv_scope(enabled):
+    """Trace-time scope: convs traced inside use ``enabled`` instead of the
+    FAST_CONV global. Values: None = no override; False = exact cond tree;
+    True/'windowed' = Pallas windowed kernel; 'corr' = cond-free
+    center+correction. Nest-safe. (The value is stored VERBATIM — an early
+    bool() coercion here turned 'corr' into True and silently routed every
+    sparse scale to the windowed kernel.)"""
+    global _FAST_SCOPE
+    prev = _FAST_SCOPE
+    _FAST_SCOPE = enabled
+    try:
+        yield
+    finally:
+        _FAST_SCOPE = prev
 
 
 def _pallas_interpret() -> bool:
@@ -451,20 +503,32 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
     junk rows propagate junk, which downstream count-masking already
     discards). row_chunk is kept for API compatibility and ignored.
 
-    fast=True (or the FAST_CONV module default) replaces the dense ``full``
-    branch with the Pallas windowed kernel (ops/pallas_conv.py): one
-    in-VMEM one-hot-gather pass over a +-128-row Morton window plus a
-    compacted per-tap correction for the 2-25% of rows with out-of-window
-    neighbors, falling back to ``full`` when far rows exceed N//4. Exact
-    (every dropped tap is re-added by the correction; branch predicates are
-    pure table functions, so encoder and decoder agree) but EVAL-ONLY: the
-    Pallas kernel has no VJP. Requires bf16 feats and N % 256 == 0 —
-    anything else silently uses the XLA path. Channel counts off the
+    fast=True (or an enclosing fast_conv_scope, or the FAST_CONV module
+    default) replaces the ENTIRE cond tree with a cond-free path: the
+    Pallas windowed kernel (ops/pallas_conv.py — one in-VMEM one-hot-gather
+    pass over a +-128-row Morton window) plus an UNCONDITIONAL compacted
+    per-tap correction covering the first N//4 rows (ascending row order)
+    that have out-of-window neighbors; far taps beyond that cap are
+    DROPPED. Cond-free by necessity: this rig's libtpu SIGABRTs whenever
+    the Mosaic custom call's value meets lax.cond (round-4 bisect). The
+    fast conv is therefore a deterministic APPROXIMATION of the exact
+    conv, not a bit-exact equal — sound for the lossless codec because
+    encoder and decoder trace the identical function of the shared table
+    (streams agree bit-for-bit; truncation costs only bpp at scales where
+    nfar > N//4). EVAL-ONLY: the Pallas kernel has no VJP; training always
+    takes the exact XLA path. Requires bf16 feats and N % 256 == 0 —
+    anything else silently uses the XLA cond tree. Channel counts off the
     128-lane grid (ch32/ch64 trained configs) are zero-padded to it.
+
+    Because fast is all-or-nothing per conv, callers should enable it ONLY
+    where the cond tree would take the dense ``full`` branch: the flagship
+    wraps each scale in fast_conv_scope driven by a host-measured per-scale
+    density mask (model._scale_plan) so sparse full-resolution scales keep
+    the ~0.05 ms pointwise branch.
     """
     del row_chunk
     if fast is None:
-        fast = FAST_CONV
+        fast = current_fast()
     n, cin = feats.shape
     assert table.shape[0] == n, \
         f'table rows {table.shape[0]} != feats rows {n} (miss sentinel is n)'
@@ -493,6 +557,25 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
         hit = jnp.any((table < n) & (lane != center), axis=1)       # [N]
         nhit = jnp.sum(hit.astype(jnp.int32))
         kcap = max(min(n // 8, n), 1)
+        # Round-5 device attribution (scripts/scale_profile.py): a lax.cond
+        # whose operands include [131k, 128] feats + [131k, 27] table costs
+        # ~11 ms on this rig EVEN WHEN the selected branch is the 0.05 ms
+        # pointwise GEMM — the conditional's operand staging into alternate
+        # memory dominates, the same pathology as the round-2 while-loop
+        # finding (~40 such conds = ~430 ms of a 433 ms frame). Fast mode
+        # therefore avoids lax.cond entirely:
+        #   fast == 'corr'     -> center GEMM + compacted <= N//8 hit
+        #                         correction, unconditionally (sparse
+        #                         scales; truncation beyond N//8 is the
+        #                         same deterministic-approximation story
+        #                         as the windowed far cap)
+        #   fast/'windowed'    -> Pallas windowed kernel + far correction
+        #                         (dense scales); shapes the kernel cannot
+        #                         take fall through to the cond-free exact
+        #                         27-tap 'full' (cheap at the tiny caps
+        #                         where that happens)
+        #   fast False/None    -> the exact 3-way cond tree (training, and
+        #                         the --fast-conv 0 A/B path)
 
         def sparse_correction():
             # stable sort: hit rows first, original order preserved
@@ -516,9 +599,18 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                 jnp.where(valid_k[:, None], corr, 0.0), mode='drop')
 
         cin_, cout_ = weights.shape[1], weights.shape[2]
-        use_fast = (fast and k == 27 and feats.dtype == jnp.bfloat16
-                    and n % 256 == 0)
-        if use_fast:
+        use_fast = (fast and fast != 'corr' and k == 27
+                    and feats.dtype == jnp.bfloat16 and n % 256 == 0)
+        if fast == 'corr':
+            acc = sparse_correction()
+        elif fast and not use_fast:
+            # cond-free requested but the windowed kernel cannot take this
+            # shape (k != 27, non-bf16, or N % 256): run the exact 27-tap
+            # path unconditionally — at the tiny caps where this happens
+            # (cap 128 'rec' scales) it costs microseconds, and it keeps
+            # the program free of lax.cond.
+            acc = full()
+        elif use_fast:
             from .pallas_conv import far_mask, windowed_conv
             fm = far_mask(table, n)                     # [N, 27] bool
             rowfar = jnp.any(fm, axis=1)
@@ -562,18 +654,23 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
             wout = _wconv()
 
             def windowed_full():
+                # Far-compaction formulation knob (bisect instrument for
+                # scripts/fastconv_compile_probe.py): 'argsort' (default)
+                # and 'cumsum' are equivalent compactions; 'none' ELIDES
+                # the far correction entirely (windowed kernel only —
+                # probe-only, drops every out-of-window tap).
+                mode = os.environ.get('FASTPCC_FAR_COMPACT', 'argsort')
+                if mode not in ('argsort', 'cumsum', 'none'):
+                    raise ValueError(
+                        f'unknown FASTPCC_FAR_COMPACT mode {mode!r}')
+                if mode == 'none':
+                    return wout
 
                 def with_far_correction():
                     # Compaction of the <=fcap far rows. Two equivalent
                     # formulations (both list far rows in ascending row
                     # order): 'argsort' = stable argsort on the far flag;
                     # 'cumsum' = prefix-sum slot assignment + one scatter.
-                    # The knob exists because this rig's Aug-2026 libtpu
-                    # SIGABRTs compiling the encode program with FAST_CONV
-                    # (leaf-while bug, PERFNOTES.md round 4) and the sort
-                    # expansion is a suspected trigger; scripts/
-                    # fastconv_compile_probe.py bisects via this env var.
-                    mode = os.environ.get('FASTPCC_FAR_COMPACT', 'argsort')
                     if mode == 'cumsum':
                         pos = jnp.cumsum(rowfar.astype(jnp.int32)) - 1
                         slot = jnp.where(rowfar & (pos < fcap), pos, fcap)

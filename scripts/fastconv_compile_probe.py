@@ -42,21 +42,29 @@ params = model.init_params(jax.random.PRNGKey(0))
 xyz = synthetic_lidar_scan(seed=1, resolution=65536)
 codes_np = np.unique(np_morton_encode(xyz.astype(np.int64)))
 cap = _bucket(len(codes_np))
-caps = model._scale_caps(codes_np, cap)
+caps, meas_mask = model._scale_plan(codes_np, cap)
+# PROBE_MASK: 'all' = every scale cond-free windowed (the round-4-proven
+# form); 'split' = measured density mask — dense scales windowed, sparse
+# scales keep the nhit cond tree, so Mosaic outputs TRANSITIVELY feed
+# lax.cond trees (the open compile question this probe answers).
+mask_mode = os.environ.get('PROBE_MASK', 'all')
+fast_mask = meas_mask if mask_mode == 'split' else (1 << 15) - 1
+print(f'mask_mode={mask_mode} fast_mask=0x{fast_mask:x} '
+      f'measured=0x{meas_mask:x}', flush=True)
 codes = jnp.asarray(sp_pad_codes(codes_np, cap))
 count = jnp.int32(len(codes_np))
-enc = jax.jit(model._traced_encode, static_argnums=(3,))
-enc.lower(params, codes, count, caps).compile()
+enc = jax.jit(model._traced_encode, static_argnums=(3, 4))
+enc.lower(params, codes, count, caps, fast_mask).compile()
 print('ENCODE_COMPILED_OK', flush=True)
 if os.environ.get('PROBE_DECODE'):
     # decode too: abstract encode outputs via eval_shape (no execution)
     bptr_s, buf_s, _c, eb_s, bc_s = jax.eval_shape(
-        lambda p, c, n: model._traced_encode(p, c, n, caps),
+        lambda p, c, n: model._traced_encode(p, c, n, caps, fast_mask),
         params, codes, count)
-    dec = jax.jit(model._traced_decode_verify, static_argnums=(7,))
+    dec = jax.jit(model._traced_decode_verify, static_argnums=(7, 8))
     dec.lower(params, eb_s, bc_s, bptr_s, buf_s,
               jax.ShapeDtypeStruct(codes.shape, codes.dtype),
-              jax.ShapeDtypeStruct((), jnp.int32), caps).compile()
+              jax.ShapeDtypeStruct((), jnp.int32), caps, fast_mask).compile()
     print('DECODE_COMPILED_OK', flush=True)
 print('COMPILED_OK', flush=True)
 """
@@ -66,12 +74,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--channels', type=int, default=128)
     ap.add_argument('--modes', type=str, default='none,cumsum,argsort')
+    ap.add_argument('--mask', type=str, default='all',
+                    help="'all' = every scale windowed (cond-free program); "
+                         "'split' = measured density mask (dense scales "
+                         "windowed, sparse scales keep the cond tree)")
     ap.add_argument('--timeout', type=int, default=900)
     args = ap.parse_args()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results = {}
     for mode in args.modes.split(','):
-        env = dict(os.environ, FASTPCC_FAR_COMPACT=mode)
+        env = dict(os.environ, FASTPCC_FAR_COMPACT=mode,
+                   PROBE_MASK=args.mask)
         try:
             r = subprocess.run(
                 [sys.executable, '-c', _CHILD, str(args.channels)],

@@ -31,6 +31,9 @@ def main():
     ap.add_argument('--dump-names', type=int, default=0,
                     help='print N sample (name, display) pairs to inspect '
                          'what scope metadata this runtime emits')
+    ap.add_argument('--top-ops', type=int, default=30,
+                    help='print the N individually most expensive ops '
+                         '(aggregated by op name across executions)')
     args = ap.parse_args()
 
     import numpy as np
@@ -61,9 +64,11 @@ def main():
         parts.append(c | (np.int64(b) << (3 * cfg.coord_bits)))
     codes_np = np.sort(np.concatenate(parts))
     cap = _bucket(len(codes_np))
-    caps = model._scale_caps(codes_np, cap)
+    caps, fast_mask = model._scale_plan(codes_np, cap)
+    if not args.fast_conv:
+        fast_mask = 0
     dev = (jnp.asarray(sp_pad_codes(codes_np, cap)),
-           jnp.int32(len(codes_np)), caps)
+           jnp.int32(len(codes_np)), caps, fast_mask)
 
     out = rt(params, *dev)
     jax.block_until_ready(out)
@@ -78,6 +83,8 @@ def main():
     by_scale = collections.Counter()
     by_cat = collections.Counter()
     by_scale_cat = collections.Counter()
+    by_op = collections.Counter()
+    op_disp = {}
     total_ops = 0.0
     module_ms = 0.0
     samples = []
@@ -97,6 +104,9 @@ def main():
                 total_ops += ms
                 cat = re.split(r'[.\d]', name, 1)[0] or name
                 by_cat[cat] += ms
+                by_op[name] += ms
+                if name not in op_disp and disp:
+                    op_disp[name] = disp[:120]
                 m = scale_re.search(disp or '')
                 tag = f'scale{m.group(1)}' if m else '(unscoped)'
                 by_scale[tag] += ms
@@ -115,6 +125,10 @@ def main():
     print('\n-- top scale x category --')
     for (tag, cat), ms in by_scale_cat.most_common(25):
         print(f'{tag:12} {cat:24} {ms:9.1f} ms')
+    if args.top_ops:
+        print('\n-- top individual ops --')
+        for name, ms in by_op.most_common(args.top_ops):
+            print(f'{ms:9.2f} ms  {name:40}  {op_disp.get(name, "")}')
     for s in samples:
         print('SAMPLE', s)
 

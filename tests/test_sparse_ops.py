@@ -319,13 +319,27 @@ def test_windowed_pallas_conv_matches_xla_path():
                          np.float32)
         out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
                          np.float32)
+        scale = np.abs(ref).max() + 1e-9
         if far_frac <= 0.25:
-            scale = np.abs(ref).max() + 1e-9
             err = np.abs(out - ref).max() / scale
             assert err < 2e-2, (far_frac, err)
         else:
-            # truncation regime: codec-sound as long as repeated traces
-            # produce the identical function (encoder == decoder)
+            # truncation regime (nfar > N//4): the correction covers the
+            # first N//4 far rows in ascending row order; those rows plus
+            # every non-far row must still MATCH the exact path — only
+            # rows past the cap may diverge (and at least one must, or
+            # this regime wasn't exercised).
+            from fastpcc_tpu.ops.pallas_conv import far_mask
+            rowfar = np.asarray(far_mask(table, n).any(axis=1))
+            far_rows = np.flatnonzero(rowfar)
+            covered = np.ones(n, bool)
+            covered[far_rows[n // 4:]] = False
+            err_cov = (np.abs(out - ref)[covered].max() / scale)
+            assert err_cov < 2e-2, (far_frac, err_cov)
+            err_trunc = np.abs(out - ref)[~covered].max() / scale
+            assert err_trunc > 2e-2, \
+                'truncation regime not exercised (all rows matched exact)'
+            # codec-soundness: repeated traces are the identical function
             out2 = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
                               np.float32)
             np.testing.assert_array_equal(out, out2)
@@ -356,6 +370,69 @@ def test_windowed_conv_narrow_channels_pad_into_kernel():
                          np.float32)
         scale = np.abs(ref).max() + 1e-9
         assert np.abs(out - ref).max() / scale < 2e-2, (cin, cout)
+
+
+def test_corr_conv_matches_exact_within_budget():
+    """fast='corr' (cond-free center + compacted correction, the sparse-
+    scale routing of the round-5 plan) equals the exact path while
+    nhit <= N//8; beyond the budget only uncovered hit rows may diverge."""
+    rng = np.random.default_rng(21)
+    n, cin, cout = 256, 16, 16
+    kcap = n // 8
+    feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    for nhit in (0, 1, kcap, kcap + 5, n // 2):
+        table_np = np.full((n, 27), n, np.int64)
+        table_np[:, 13] = np.arange(n)
+        hit_rows = np.sort(rng.choice(n, size=nhit, replace=False))
+        for r in hit_rows:
+            taps = rng.choice([t for t in range(27) if t != 13],
+                              size=2, replace=False)
+            table_np[r, taps] = rng.integers(0, n, size=2)
+        table = jnp.asarray(table_np)
+        ref = np.asarray(sparse_conv_apply(feats, table, w, fast=False))
+        out = np.asarray(sparse_conv_apply(feats, table, w, fast='corr'))
+        covered = np.ones(n, bool)
+        covered[hit_rows[kcap:]] = False   # ascending-order budget
+        np.testing.assert_allclose(out[covered], ref[covered],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f'nhit={nhit}')
+        if nhit > kcap:
+            assert np.abs(out[~covered] - ref[~covered]).max() > 1e-4, \
+                'truncation regime not exercised'
+        # determinism across calls (encoder == decoder function)
+        out2 = np.asarray(sparse_conv_apply(feats, table, w, fast='corr'))
+        np.testing.assert_array_equal(out, out2)
+
+
+def test_child_table_static_trivial_matches_runtime():
+    """static_trivial True/False must reproduce the runtime cond's two
+    branches exactly (the round-5 host-planned triviality)."""
+    import numpy as np
+    from fastpcc_tpu.ops import sparse as sp
+    from fastpcc_tpu.ops.morton import np_morton_encode
+    rng = np.random.default_rng(5)
+    bits, scale_bits = 8, 5
+    cap = 1024
+    xyz = rng.integers(0, 1 << scale_bits, size=(500, 3)).astype(np.int64)
+    codes = np.unique(np_morton_encode(xyz))
+    n = len(codes)
+    codes_j = jnp.asarray(np.pad(codes, (0, cap - n),
+                                 constant_values=1 << 62))
+    count = jnp.int32(n)
+    parent, bins, c2p = sp.downsample_with_bins(codes_j, count, bits, 0)
+    octant = (codes_j & 7).astype(jnp.int32)
+    parent_table = sp.build_neighbor_table(parent.codes, parent.count,
+                                           bits, scale_bits - 1)
+    full = sp.child_table_from_parent(parent_table, c2p, octant, count,
+                                      parent.count, static_trivial=False)
+    ref = sp.build_neighbor_table(codes_j, count, bits, scale_bits)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(ref))
+    triv = np.asarray(sp.child_table_from_parent(
+        parent_table, c2p, octant, count, parent.count, static_trivial=True))
+    expect = np.full((cap, 27), cap, np.int32)
+    expect[:n, 13] = np.arange(n)
+    np.testing.assert_array_equal(triv, expect)
 
 
 def test_windowed_conv_unqualified_shapes_fall_back():
