@@ -24,7 +24,7 @@ import time
 # Last number actually measured on hardware (BENCH_r02). Emitted in the
 # structured-failure payload so a tunnel flap never reduces the round's
 # record to a bare traceback (round-3 postmortem: BENCH_r03.json rc=1).
-LAST_GOOD = {'value': 0.3008, 'unit': 'Mpoints/s/chip', 'round': 5}
+LAST_GOOD = {'value': 0.3727, 'unit': 'Mpoints/s/chip', 'round': 5}
 
 
 def probe_backend(deadline_s: float, interval_s: float = 30.0) -> bool:
@@ -105,8 +105,11 @@ def main():
                          'bits, so per-program overhead amortizes)')
     ap.add_argument('--ckpt', type=str, default='runs/bench_ckpt.pt',
                     help='trained checkpoint for an honest operating point '
-                         '(bpp quoted as trained); silently skipped if the '
-                         'file does not exist')
+                         '(bpp quoted as trained). Falls back to the slim '
+                         'f16 checkpoint committed at weights/bench_ckpt_'
+                         'f16.pt (runs/ is a gitignored artifact dir and '
+                         'does not survive container resets); untrained '
+                         'params only if neither exists.')
     ap.add_argument('--deadline', type=float,
                     default=float(os.environ.get('BENCH_DEADLINE', 600)),
                     help='seconds to spend probing/retrying the backend '
@@ -159,10 +162,12 @@ def run_bench(args):
     model = Model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     trained = False
-    if args.ckpt and os.path.exists(args.ckpt):
+    ckpt_path = args.ckpt if args.ckpt and os.path.exists(args.ckpt) \
+        else 'weights/bench_ckpt_f16.pt'
+    if os.path.exists(ckpt_path):
         from fastpcc_tpu.utils.checkpoint import (load_checkpoint,
                                                   load_loose_params)
-        ckpt = load_checkpoint(args.ckpt)
+        ckpt = load_checkpoint(ckpt_path)
         loaded = ckpt.get('ema_state_dict') or ckpt['state_dict']
         params, _warnings = load_loose_params(params, loaded, None)
         trained = True

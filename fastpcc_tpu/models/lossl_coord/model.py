@@ -499,8 +499,9 @@ class Model:
     def _scale_plan(self, codes_np: np.ndarray, cap: int):
         """(caps, plan_mask): static per-scale capacities + conv routing.
 
-        caps: power-of-2 buckets of the per-scale counts, non-increasing,
-        floor 128 — transmitted in the device-coder header so the decoder
+        caps: buckets of the per-scale counts (pow-2 up to 8192, 8192-
+        multiples above — see the inline note), non-increasing, floor 128 —
+        transmitted in the device-coder header so the decoder
         compiles the same shapes. With a flat capacity every coarse scale
         paid full-resolution cost although LiDAR counts collapse 8x/scale
         above ~scale 7.
@@ -536,9 +537,15 @@ class Model:
                 # parent codes: the batch part (high bits) shifts down with
                 # the morton part, preserving distinctness (counts only)
                 c = np.unique(c >> 3)
-                caps.append(min(
-                    caps[-1],
-                    max(1 << int(math.ceil(math.log2(max(len(c), 1)))), 128)))
+                # bucket: pow-2 up to 8192, then 8192-multiples — LiDAR
+                # counts sit just above pow-2 boundaries at the dominant
+                # scales (bench cloud scale 6: 103k -> pow-2 cap 131072 vs
+                # 8k cap 106496, 19% of every op at that scale), and all
+                # kernel shape constraints only need multiples of 256
+                nc = len(c)
+                bucket = (max(1 << int(math.ceil(math.log2(max(nc, 1)))), 128)
+                          if nc <= 8192 else ((nc + 8191) // 8192) * 8192)
+                caps.append(min(caps[-1], bucket))
             counts.append(len(c))
             if len(c) == 0 or not probe:
                 dense.append(False)
@@ -580,7 +587,7 @@ class Model:
     def _effective_plan(self, codes_np: np.ndarray, n: int):
         """Dataset-stable static shapes: the caps used for a cloud are the
         running elementwise max over every cloud this Model instance has
-        compressed (elementwise max of non-increasing pow-2 sequences stays
+        compressed (elementwise max of non-increasing bucket sequences stays
         non-increasing). A multi-sample test pass therefore compiles the
         mega encode/decode programs for sample 1 and reuses them for every
         later cloud that fits — per-cloud caps recompiled per sample
@@ -867,6 +874,18 @@ class Model:
             return cdf_rows_pallas(logits)
         return _cdf_rows(logits)
 
+    def _nn_pairs(self, logits, syms):
+        # encode-side (start, freq) pairs. Fused pallas kernel on TPU
+        # (skips the [N, 255] u16 CDF HBM write + the per-symbol iota-
+        # compare fusion of _enc_pairs); the composition elsewhere.
+        # FASTPCC_FUSED_PAIRS=0 restores the two-step path for A/B runs.
+        from ...ops.sparse import _pallas_interpret
+        if (not _pallas_interpret()
+                and os.environ.get('FASTPCC_FUSED_PAIRS', '1') != '0'):
+            from ...ops.pallas_cdf import enc_pairs_pallas
+            return enc_pairs_pallas(logits, syms)
+        return _enc_pairs(self._nn_cdf(logits), syms)
+
     def _top_table_cap(self, cap: int, top: int, batch_hint: int = 1) -> int:
         """Static row bound for the coarsest-scale table: a sample has at
         most 8^(bits-top) distinct top-scale codes. Searching over the full
@@ -1021,15 +1040,15 @@ class Model:
         """Turn one scale's logits into coded symbols (encode) or decoded
         bins + expanded child scale (decode). Returns the bins at scale idx."""
         st = states[idx]
-        t0 = time.perf_counter()
-        cdfs = self._nn_cdf(logits)
-        if self.profile:
-            jax.block_until_ready(cdfs)
-        self._prof('cdf_rows', t0)
         if symbols_of is not None:   # encode path
             syms = symbols_of(idx)
             t0 = time.perf_counter()
-            starts, freqs = _enc_pairs(cdfs, syms)
+            # pairs straight from logits: on the encode side the CDF
+            # table's only consumer is the per-symbol (start, freq)
+            # selection, so the fused kernel skips the [N, 255] u16 HBM
+            # round-trip entirely (bit-identical pairs; decode still
+            # builds the full table below)
+            starts, freqs = self._nn_pairs(logits, syms)
             if self.profile:
                 jax.block_until_ready(freqs)
             self._prof('enc_pairs', t0)
@@ -1045,6 +1064,11 @@ class Model:
             return st.bins
         # decode path
         cap = st.codes.shape[0]
+        t0 = time.perf_counter()
+        cdfs = self._nn_cdf(logits)
+        if self.profile:
+            jax.block_until_ready(cdfs)
+        self._prof('cdf_rows', t0)
         if getattr(self, '_use_device_decode', self.cfg.device_coder):
             t0 = time.perf_counter()
             rs, ptr, stream = self._rans

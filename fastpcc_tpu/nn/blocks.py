@@ -128,6 +128,17 @@ class OctantSelectDense(nn.Module):
         padded = jnp.concatenate(
             [parent_feats, jnp.zeros_like(parent_feats[:1])], axis=0)
         g = padded[jnp.minimum(parent_of_child, n)]          # [N_child, cin]
+        # Fast eval programs (fast_conv_scope truthy) take the fused Pallas
+        # kernel: the [N, 8ch] product and the octant select stay in VMEM
+        # (the XLA where-chain below moves ~8 x [N, ch] through HBM —
+        # round-5 fusion-tail attribution). No VJP -> eval only.
+        from ..ops import sparse as _sp
+        nc = g.shape[0]
+        if (_sp.current_fast() and g.dtype == jnp.bfloat16
+                and nc % 256 == 0 and cin % 128 == 0 and ch % 128 == 0):
+            from ..ops.pallas_select import octant_select_dense
+            return octant_select_dense(g, octant_of_child, k, bias,
+                                       interpret=_sp._pallas_interpret())
         kd = k.astype(g.dtype)
         bd = bias.astype(g.dtype)
         out = None

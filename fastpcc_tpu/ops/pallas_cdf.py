@@ -76,3 +76,61 @@ def cdf_rows_pallas(logits: jax.Array, interpret: bool = False) -> jax.Array:
             interpret=interpret,
         )(logits)
     return out[:, :s].astype(jnp.uint16)
+
+
+def _pairs_kernel(logits_ref, syms_ref, out_ref, *, s_valid: int, lanes: int):
+    x = logits_ref[...].astype(jnp.float32)               # [R, lanes]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    x = jnp.where(lane < s_valid, x, jnp.float32(-1e30))
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    pmf = e / jnp.sum(e, axis=1, keepdims=True)
+    q = (pmf * jnp.float32(65536 - s_valid)).astype(jnp.int32) \
+        .astype(jnp.float32) + jnp.float32(1.0)
+    q = jnp.where(lane < s_valid, q, jnp.float32(0.0))
+    sym = syms_ref[...]                                    # [R, 1] int32
+    sym = jnp.minimum(jnp.maximum(sym, 0), s_valid - 1)
+    # start = sum_{j < sym} q_j, qs = q_sym: two masked VPU reduces instead
+    # of the full cumsum (integer-valued f32 partials < 2^17 -> exact)
+    start = jnp.sum(jnp.where(lane < sym, q, 0.0), axis=1, keepdims=True)
+    qs = jnp.sum(jnp.where(lane == sym, q, 0.0), axis=1, keepdims=True)
+    start_i = start.astype(jnp.int32)
+    freq_i = jnp.where(sym == s_valid - 1,
+                       jnp.int32(65536) - start_i, qs.astype(jnp.int32))
+    # pack (start, freq) into one i32 lane: start<<16 | freq (freq < 2^16
+    # always: start >= s_valid-1 > 0 whenever sym is the last symbol)
+    out_ref[...] = (start_i << 16) | (freq_i & jnp.int32(0xffff))
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def enc_pairs_pallas(logits: jax.Array, symbols: jax.Array,
+                     interpret: bool = False):
+    """[N, S] logits + [N] symbols -> (start, freq) uint16 per row.
+
+    Bit-identical to _enc_pairs(cdf_rows_pallas(logits), symbols)
+    (models/lossl_coord/model.py) but never materializes the [N, S] CDF
+    table in HBM — on the encode side the table's ONLY consumer is the
+    per-symbol pair selection (the word coder takes (start, freq) directly),
+    so the whole softmax -> quantize -> select pipeline runs in one VMEM
+    pass and writes 4 bytes per row."""
+    n, s = logits.shape
+    lanes = -(-s // 128) * 128
+    if lanes != s:
+        logits = jnp.pad(logits, ((0, 0), (0, lanes - s)))
+    syms2d = symbols.astype(jnp.int32).reshape(n, 1)
+    rows = min(_ROWS, n)
+    assert n % rows == 0, f'row count {n} not divisible by block {rows}'
+    with jax.enable_x64(False):
+        packed = pl.pallas_call(
+            functools.partial(_pairs_kernel, s_valid=s, lanes=lanes),
+            grid=(n // rows,),
+            in_specs=[pl.BlockSpec((rows, lanes), lambda i: (i, 0)),
+                      pl.BlockSpec((rows, 1), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            interpret=interpret,
+        )(logits, syms2d)
+    packed = packed[:, 0]
+    start = ((packed >> 16) & 0xffff).astype(jnp.uint16)
+    freq = (packed & 0xffff).astype(jnp.uint16)
+    return start, freq

@@ -595,8 +595,15 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                                 preferred_element_type=jnp.float32)
                 corr = o if corr is None else corr + o
             out = center_gemm()
-            return out.at[idx].add(
-                jnp.where(valid_k[:, None], corr, 0.0), mode='drop')
+            # scatter-free application: compacted rows are the hit rows in
+            # ascending row order, so row i's correction (if covered) lives
+            # at corr[rank_i] with rank = prefix count of hit — a row GATHER
+            # + masked add instead of .at[idx].add (TPU scatters serialize
+            # per update: ~0.66 ms/conv at 15k rows, round-5 attribution)
+            rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
+            take = hit & (rank < kcap)
+            corr_full = corr[jnp.clip(rank, 0, kcap - 1)]
+            return out + jnp.where(take[:, None], corr_full, 0.0)
 
         cin_, cout_ = weights.shape[1], weights.shape[2]
         use_fast = (fast and fast != 'corr' and k == 27
@@ -615,18 +622,27 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
             fm = far_mask(table, n)                     # [N, 27] bool
             rowfar = jnp.any(fm, axis=1)
             nfar = jnp.sum(rowfar.astype(jnp.int32))
-            fcap = max(n // 4, 1)
+            # Correction capacity: n/8 at the ~full-resolution caps (far
+            # rate measured <= 0.11 there even with the small window —
+            # see window_plan), n/4 elsewhere. A pure function of the
+            # static n, so encoder and decoder agree; overflow beyond the
+            # cap only drops far taps (bpp cost, losslessness untouched).
+            fcap = max(n // 8 if n >= 98304 else n // 4, 1)
             interp = _pallas_interpret()
 
             def _wconv():
                 # pad channels up to the next 128-lane multiple: the MXU
                 # is 128 lanes wide regardless, so ch32/ch64 (the trained
-                # operating points) ride the kernel at zero extra silicon
+                # operating points) ride the kernel at zero extra silicon.
+                # out_dtype = feats.dtype (bf16): the f32->bf16 convert of
+                # a [131k, 128] output costs ~0.2 ms/conv on v5e and every
+                # caller casts to the activation dtype anyway.
                 pi, po = (-cin_) % 128, (-cout_) % 128
                 f = jnp.pad(feats, ((0, 0), (0, pi))) if pi else feats
                 w = (jnp.pad(weights, ((0, 0), (0, pi), (0, po)))
                      if (pi or po) else weights)
-                out = windowed_conv(f, table, w, interpret=interp)
+                out = windowed_conv(f, table, w, interpret=interp,
+                                    out_dtype=feats.dtype)
                 return out[:, :cout_] if po else out
 
             # COND-FREE BY NECESSITY: this rig's Aug-2026 libtpu
@@ -695,8 +711,14 @@ def sparse_conv_apply(feats: jax.Array, table: jax.Array, weights: jax.Array,
                         o = jax.lax.dot(g, weights[t],
                                         preferred_element_type=jnp.float32)
                         corr = o if corr is None else corr + o
-                    return wout.at[idx].add(
-                        jnp.where(valid_f[:, None], corr, 0.0), mode='drop')
+                    # scatter-free (see sparse_correction): far rows are
+                    # compacted in ascending row order, so a rank gather +
+                    # masked add replaces the serializing .at[idx].add
+                    rank = jnp.cumsum(rowfar.astype(jnp.int32)) - 1
+                    take = rowfar & (rank < fcap)
+                    corr_full = corr[jnp.clip(rank, 0, fcap - 1)]
+                    return wout + jnp.where(take[:, None], corr_full,
+                                            0.0).astype(wout.dtype)
 
                 return with_far_correction()
 

@@ -34,6 +34,9 @@ def main():
     ap.add_argument('--top-ops', type=int, default=30,
                     help='print the N individually most expensive ops '
                          '(aggregated by op name across executions)')
+    ap.add_argument('--cat', type=str, default='',
+                    help='restrict the top-ops listing to one HLO category '
+                         '(e.g. fusion) and print full op text')
     args = ap.parse_args()
 
     import numpy as np
@@ -84,6 +87,7 @@ def main():
     by_cat = collections.Counter()
     by_scale_cat = collections.Counter()
     by_op = collections.Counter()
+    by_module = collections.Counter()
     op_disp = {}
     total_ops = 0.0
     module_ms = 0.0
@@ -97,6 +101,7 @@ def main():
             for line, name, dur, disp in evs:
                 if line == 'XLA Modules':
                     module_ms += dur / 1e9
+                    by_module[re.split(r'[.(]', name, 1)[0]] += dur / 1e9
                     continue
                 if line != 'XLA Ops':
                     continue
@@ -106,7 +111,7 @@ def main():
                 by_cat[cat] += ms
                 by_op[name] += ms
                 if name not in op_disp and disp:
-                    op_disp[name] = disp[:120]
+                    op_disp[name] = disp[:400]
                 m = scale_re.search(disp or '')
                 tag = f'scale{m.group(1)}' if m else '(unscoped)'
                 by_scale[tag] += ms
@@ -116,6 +121,9 @@ def main():
     os.system(f'rm -rf {logdir}')
 
     print(f'module total: {module_ms:.1f} ms   ops total: {total_ops:.1f} ms')
+    print('\n-- by module (encode/decode split) --')
+    for name, ms in by_module.most_common(8):
+        print(f'{name:40} {ms:9.1f} ms')
     print('\n-- by scale --')
     for tag, ms in by_scale.most_common():
         print(f'{tag:12} {ms:9.1f} ms')
@@ -127,8 +135,17 @@ def main():
         print(f'{tag:12} {cat:24} {ms:9.1f} ms')
     if args.top_ops:
         print('\n-- top individual ops --')
-        for name, ms in by_op.most_common(args.top_ops):
-            print(f'{ms:9.2f} ms  {name:40}  {op_disp.get(name, "")}')
+        shown = 0
+        for name, ms in by_op.most_common():
+            cat = re.split(r'[.\d]', name, 1)[0] or name
+            if args.cat and args.cat not in cat:
+                continue
+            disp = op_disp.get(name, '')
+            print(f'{ms:9.2f} ms  {name:40}  '
+                  f'{disp if args.cat else disp[:160]}')
+            shown += 1
+            if shown >= args.top_ops:
+                break
     for s in samples:
         print('SAMPLE', s)
 

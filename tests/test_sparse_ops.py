@@ -453,3 +453,35 @@ def test_windowed_conv_unqualified_shapes_fall_back():
         out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
                          np.float32)
         np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-2)
+
+
+def test_windowed_conv_small_window_geometry(monkeypatch):
+    """The round-5 small-window geometry (blk=128, margin=64 — selected by
+    window_plan at full-resolution caps) matches the exact path while far
+    rows fit the correction, with far_mask derived from the same plan."""
+    from fastpcc_tpu.ops import pallas_conv as pc
+    monkeypatch.setattr(pc, 'window_plan', lambda n: 128)
+    rng = np.random.default_rng(17)
+    n, cin, cout = 512, 128, 128
+    feats = jnp.asarray(rng.normal(size=(n, cin)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.05, jnp.bfloat16)
+    table_np = np.full((n, 27), n, np.int64)
+    table_np[:, 13] = np.arange(n)
+    for r in range(n):
+        taps = rng.choice([t for t in range(27) if t != 13], size=8,
+                          replace=False)
+        # offsets up to +-60: mostly within the 64-row margin
+        table_np[r, taps] = np.clip(r + rng.integers(-60, 60, size=8),
+                                    0, n - 1)
+    # plus ~n/8 explicit far rows so the correction path is exercised
+    for r in rng.choice(n, size=n // 8, replace=False):
+        table_np[r, rng.integers(0, 13)] = (r + n // 2) % n
+    table = jnp.asarray(table_np)
+    rowfar = np.asarray(pc.far_mask(table, n).any(axis=1))
+    assert 0 < rowfar.sum() <= n // 4, rowfar.sum()
+    ref = np.asarray(sparse_conv_apply(feats, table, w, fast=False),
+                     np.float32)
+    out = np.asarray(sparse_conv_apply(feats, table, w, fast=True),
+                     np.float32)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 2e-2
