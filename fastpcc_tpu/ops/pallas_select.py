@@ -67,3 +67,54 @@ def octant_select_dense(gathered: jax.Array, octant: jax.Array,
     # kernel's consumer (bf16 add matches the XLA path's epilogue order)
     bsel = bias.astype(gathered.dtype).reshape(8, ch)[oct32]
     return out + bsel
+
+
+def _lut_select_kernel(x_ref, oct_ref, luts_ref, out_ref, *, out_w: int):
+    """out[i, j] = x[i, luts[oct_i, j]] via in-VMEM one-hot f32 dots
+    (index values < 2^24 -> exact)."""
+    x = x_ref[...].astype(jnp.float32)                    # [R, in_w]
+    oct_c = oct_ref[...]                                  # [R, 1] int32
+    out = jnp.zeros((x.shape[0], out_w), jnp.float32)
+    for o in range(8):
+        y = jnp.dot(x, luts_ref[o], preferred_element_type=jnp.float32)
+        out = jnp.where(oct_c == o, y, out)
+    out_ref[...] = out.astype(jnp.int32)
+
+
+def lut_select_pallas(x: jax.Array, octant: jax.Array, lut,
+                      interpret: bool = False) -> jax.Array:
+    """Per-row static lane selection: out[i, j] = x[i, lut[octant_i, j]].
+
+    x: [N, in_w] int32 (values < 2^24), octant: [N] int32 in [0, 8),
+    lut: numpy [8, out_w] int32 of lane indices -> [N, out_w] int32.
+
+    Replaces the XLA masked one-hot HIGHEST matmul chain of
+    sparse.child_table_from_parent (which materializes f32 copies of the
+    [N, in_w] operands plus 8 where-passes in HBM per stage — round-5
+    fusion attribution); here the one-hot dots and the converts all stay
+    in VMEM. N % 256 == 0 and lane widths get padded to 128 internally.
+    """
+    import numpy as np
+    n, in_w = x.shape
+    out_w = lut.shape[1]
+    in_p = -(-in_w // 128) * 128
+    out_p = -(-out_w // 128) * 128
+    if in_p != in_w:
+        x = jnp.pad(x, ((0, 0), (0, in_p - in_w)))
+    luts = np.zeros((8, in_p, out_p), np.float32)
+    for o in range(8):
+        luts[o, lut[o], np.arange(out_w)] = 1.0
+    rows = min(_ROWS, n)
+    assert n % rows == 0, f'row count {n} not divisible by block {rows}'
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_lut_select_kernel, out_w=out_p),
+            grid=(n // rows,),
+            in_specs=[pl.BlockSpec((rows, in_p), lambda i: (i, 0)),
+                      pl.BlockSpec((rows, 1), lambda i: (i, 0)),
+                      pl.BlockSpec((8, in_p, out_p), lambda i: (0, 0, 0))],
+            out_specs=pl.BlockSpec((rows, out_p), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, out_p), jnp.int32),
+            interpret=interpret,
+        )(x, octant.astype(jnp.int32).reshape(n, 1), jnp.asarray(luts))
+    return out[:, :out_w]

@@ -333,33 +333,50 @@ def child_table_from_parent(parent_table: jax.Array, child_to_parent: jax.Array,
         oct_c = jnp.clip(octant, 0, 7)
         pt_ext = jnp.concatenate(
             [parent_table, jnp.full((1, 27), m, jnp.int32)], axis=0)
-        rowg_f = pt_ext[p].astype(jnp.float32)            # [N, 27] row gather
-        # pb[i, b] = rowg[i, block_off[oct_i, b]]: the 8 block-parent rows
-        pb_f = jnp.zeros((n, 8), jnp.float32)
-        for o in range(8):
-            perm = jnp.asarray((block_np[o][None, :] ==
-                                np.arange(27)[:, None]).astype(np.float32))
-            pb_f = pb_f + jnp.where(
-                (oct_c == o)[:, None],
-                jax.lax.dot(rowg_f, perm,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32),
-                0.0)
-        pb = pb_f.astype(jnp.int32)                        # values in [0, m]
-        # rm[i] = concat of the 8 block parents' child-row maps -> [N, 64]
-        rm_f = row_map2d[pb.reshape(-1)].reshape(n, 64).astype(jnp.float32)
-        # rows[i, j] = rm[i, idx64[oct_i, j]]
-        rows_f = jnp.zeros((n, 27), jnp.float32)
-        for o in range(8):
-            sel = jnp.asarray((idx64_np[o][:, None] ==
-                               np.arange(64)[None, :]).astype(np.float32).T)
-            rows_f = rows_f + jnp.where(
-                (oct_c == o)[:, None],
-                jax.lax.dot(rm_f, sel,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32),
-                0.0)
-        rows = rows_f.astype(jnp.int32)
+        rowg = pt_ext[p]                                  # [N, 27] row gather
+        # Two per-octant static lane selections around the row-map gather.
+        # On the STATICALLY routed fast program (static_trivial False —
+        # never inside the runtime lax.cond below: Mosaic x cond SIGABRTs
+        # this libtpu) they run as VMEM pallas kernels; the XLA fallback
+        # materializes f32 operand copies + 8 where-passes per stage in HBM
+        # (round-5 fusion attribution).
+        use_kernel = (static_trivial is False and current_fast()
+                      and n % 256 == 0)
+        if use_kernel:
+            from .pallas_select import lut_select_pallas
+            interp = _pallas_interpret()
+            pb = lut_select_pallas(rowg, oct_c, block_np, interpret=interp)
+            rm = row_map2d[pb.reshape(-1)].reshape(n, 64)
+            rows = lut_select_pallas(rm, oct_c, idx64_np, interpret=interp)
+        else:
+            rowg_f = rowg.astype(jnp.float32)
+            # pb[i, b] = rowg[i, block_off[oct_i, b]]: the 8 block-parent
+            # rows
+            pb_f = jnp.zeros((n, 8), jnp.float32)
+            for o in range(8):
+                perm = jnp.asarray((block_np[o][None, :] ==
+                                    np.arange(27)[:, None]).astype(np.float32))
+                pb_f = pb_f + jnp.where(
+                    (oct_c == o)[:, None],
+                    jax.lax.dot(rowg_f, perm,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32),
+                    0.0)
+            pb = pb_f.astype(jnp.int32)                    # values in [0, m]
+            # rm[i] = concat of the 8 block parents' child-row maps
+            rm_f = row_map2d[pb.reshape(-1)].reshape(n, 64).astype(jnp.float32)
+            # rows[i, j] = rm[i, idx64[oct_i, j]]
+            rows_f = jnp.zeros((n, 27), jnp.float32)
+            for o in range(8):
+                sel = jnp.asarray((idx64_np[o][:, None] ==
+                                   np.arange(64)[None, :]).astype(np.float32).T)
+                rows_f = rows_f + jnp.where(
+                    (oct_c == o)[:, None],
+                    jax.lax.dot(rm_f, sel,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32),
+                    0.0)
+            rows = rows_f.astype(jnp.int32)
         return jnp.where(valid[:, None], rows, n).astype(jnp.int32)
 
     def trivial():
@@ -775,17 +792,38 @@ def ancestor_rows_dense(child_codes: jax.Array, child_count: jax.Array,
     child->parent maps) instead of a binary search — searchsorted costs
     ~17 gather passes on TPU (PERFNOTES.md round 2).
 
-    Built as a row scatter-add of one-hot-positioned [N, k3*C] rows into
-    [M, k3*C] — the earlier element scatter into an [M*k3, C] tensor forced
-    a transposed layout and materialized the (mostly zero) dense tensor
-    twice (10.5 ms/call at 131k/k3=64 on v5e, round-3 trace). Colliding
-    children of one ancestor write disjoint lane blocks (offsets are unique
-    per child), so the adds are exact in any order."""
+    Built as a row scatter-add of one-hot-positioned rows — the earlier
+    element scatter into an [M*k3, C] tensor forced a transposed layout and
+    materialized the (mostly zero) dense tensor twice (10.5 ms/call at
+    131k/k3=64 on v5e, round-3 trace). Colliding children of one ancestor
+    write disjoint lane blocks (offsets are unique per child), so the adds
+    are exact in any order.
+
+    For k3 > 8 the offset is split into (hi = offset >> 3, lo = offset & 7)
+    and the scatter targets [M*8, (k3//8)*C] rows at row anc*8 + hi with a
+    lo-block one-hot — 8x narrower rows than the flat [N, k3*C] form (a
+    scatter's serialization is per UPDATE, but its HBM traffic is per
+    lane: the wide form moved 3.05 ms/call at 123k x 512 on v5e, round-5
+    attribution). Row-major reshape restores [M, k3, C] exactly:
+    anc*(k3*C) + hi*(k3//8*C) + lo*C + c == anc*(k3*C) + offset*C + c."""
     n = child_codes.shape[0]
     k3 = 1 << (3 * levels)
     c = child_feats.shape[-1]
     offset = (child_codes & (k3 - 1)).astype(jnp.int32)
     valid = (jnp.arange(n) < child_count) & (anc_rows < anc_cap)
+    if k3 > 8:
+        klo = k3 // 8
+        # layout identity: (anc*8 + hi) * (klo*c) + lo*c + ch ==
+        # anc*(k3*c) + offset*c + ch  iff  offset == hi*klo + lo
+        hi = offset // klo
+        lo = offset % klo
+        oh = lo[:, None] == jnp.arange(klo, dtype=jnp.int32)[None, :]
+        z = jnp.where(oh[:, :, None] & valid[:, None, None],
+                      child_feats[:, None, :], 0).reshape(n, klo * c)
+        rows = jnp.where(valid, anc_rows * 8 + hi, anc_cap * 8)
+        dense = jnp.zeros((anc_cap * 8, klo * c), child_feats.dtype)
+        dense = dense.at[rows].add(z, mode='drop')
+        return dense.reshape(anc_cap, k3, c)
     oh = offset[:, None] == jnp.arange(k3, dtype=jnp.int32)[None, :]
     z = jnp.where(oh[:, :, None] & valid[:, None, None],
                   child_feats[:, None, :], 0).reshape(n, k3 * c)

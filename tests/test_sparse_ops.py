@@ -485,3 +485,24 @@ def test_windowed_conv_small_window_geometry(monkeypatch):
                      np.float32)
     scale = np.abs(ref).max() + 1e-9
     assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_ancestor_rows_dense_narrow_scatter():
+    """The k3>8 narrow-scatter formulation (rows anc*8+hi, lo-block one-hot)
+    must equal direct accumulation into [M, k3, C]."""
+    from fastpcc_tpu.ops import sparse as sp
+    rng = np.random.default_rng(3)
+    n, cap, levels = 512, 256, 2
+    k3 = 1 << (3 * levels)
+    codes = np.sort(rng.choice(1 << 20, size=n, replace=False)).astype(np.int64)
+    count = 400
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    anc_rows = np.sort(rng.integers(0, cap, size=n)).astype(np.int32)
+    out = np.asarray(sp.ancestor_rows_dense(
+        jnp.asarray(codes), jnp.int32(count), jnp.asarray(feats),
+        jnp.asarray(anc_rows), cap, levels))
+    ref = np.zeros((cap, k3, 8), np.float32)
+    for i in range(count):
+        if anc_rows[i] < cap:
+            ref[anc_rows[i], codes[i] & (k3 - 1)] += feats[i]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
